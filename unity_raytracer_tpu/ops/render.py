@@ -1,0 +1,212 @@
+"""Wavefront renderer: raygen -> bounce chain -> image.
+
+The reference's per-pixel recursion (Demo-RayTracing/RayTracingSetup.cs:
+288-301 pixel loop, :304-366 recursive ``Shade``) is re-designed as a batched
+bounce chain over flat ray tensors:
+
+* **linear chain** (`_trace_chain`) — the exact reference semantics: only
+  mirrors spawn secondary rays, so the ray tree is a path; carried state is
+  ``(origin, dir, throughput, active, accum)`` and depth is a static unrolled
+  loop (max_bounces is tiny and static, which XLA fuses best).
+* **branching tree** (`_trace_tree`) — the refraction extension (baseline
+  config 2): dielectric hits spawn reflect+refract children; recursion is
+  static Python recursion to a fixed depth, each node fully batched.
+
+Radiance accumulates on the reference's 0-255 Rgb scale; `render` divides by
+255 at the end like ``Rgb.Color`` (Data/Shading/Rgb.cs:13).
+
+All ``where`` selects use guarded operands (no inf/NaN on masked lanes) so
+the whole pipeline is cleanly differentiable — masked-out lanes cannot
+poison gradients.
+"""
+
+from __future__ import annotations
+
+from functools import partial
+from typing import Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from unity_raytracer_tpu.models.camera import Camera, generate_rays
+from unity_raytracer_tpu.models.scene import Scene
+from unity_raytracer_tpu.ops import shade as sh
+from unity_raytracer_tpu.ops.intersect import Hit, nearest_hit
+from unity_raytracer_tpu.utils.config import RenderConfig
+
+SHADOW_EPS = sh.SHADOW_EPS
+
+
+def _local_radiance(scene: Scene, o, d, cfg: RenderConfig,
+                    hit: Hit) -> Tuple[jnp.ndarray, jnp.ndarray, jnp.ndarray,
+                                       object, jnp.ndarray]:
+    """Shared per-segment work: surface point, attributes, local shading.
+
+    Returns (contrib [N,3] — local radiance or background, p, n, mats,
+    hit_mask). Masked lanes carry safe (finite) values.
+    """
+    hit_mask = hit.is_hit
+    t_safe = jnp.where(hit_mask, hit.t, 1.0)
+    p = o + d * t_safe[:, None]
+    n, mats = sh.surface_attributes(scene, p, hit)
+    v = -d  # unit direction back toward the segment origin (= reference's
+    #         normalize(rayOrigin - surfacePoint), RayTracingSetup.cs:325)
+    local = sh.direct_lighting(
+        scene, p, n, v, mats,
+        soft_shadow_temp=cfg.diff.soft_shadow_temp,
+        straight_through=cfg.diff.straight_through)
+    bg = jnp.asarray(cfg.background, jnp.float32) * 255.0
+    contrib = jnp.where(hit_mask[:, None], local, bg[None, :])
+    return contrib, p, n, mats, hit_mask
+
+
+def _trace_chain(scene: Scene, o: jnp.ndarray, d: jnp.ndarray,
+                 cfg: RenderConfig) -> jnp.ndarray:
+    """Mirror-only linear bounce chain — exact reference semantics.
+
+    Segment s contributes ``prod(mirror_0..s-1) * local_s``; the chain stops
+    at the first non-mirror hit or miss, and the bounce cap means segment
+    depth max_bounces shades locally but spawns nothing
+    (``IsMirror && bounce < MaxReflectionBounces``, RayTracingSetup.cs:358).
+    """
+    n_rays = o.shape[0]
+    acc = jnp.zeros((n_rays, 3), jnp.float32)
+    thr = jnp.ones((n_rays, 3), jnp.float32)
+    active = jnp.ones((n_rays,), bool)
+
+    for depth in range(cfg.max_bounces + 1):
+        hit = nearest_hit(scene, o, d)
+        contrib, p, n, mats, hit_mask = _local_radiance(scene, o, d, cfg, hit)
+        acc = acc + thr * contrib * active[:, None]
+        if depth == cfg.max_bounces:
+            break
+        cont = active & hit_mask & mats.is_mirror
+        thr = jnp.where(cont[:, None], thr * mats.mirror, thr)
+        o = p + n * SHADOW_EPS        # Reflect origin offset (:368-373)
+        d = jnp.where(cont[:, None], sh.reflect_dir(d, n), d)
+        active = cont
+    return acc
+
+
+def _trace_tree(scene: Scene, o: jnp.ndarray, d: jnp.ndarray,
+                cfg: RenderConfig, depth: int,
+                weight: Optional[jnp.ndarray] = None) -> jnp.ndarray:
+    """Whitted tree with mirror + dielectric branches (static recursion).
+
+    Reflection children are shared between mirrors and dielectrics (weights
+    ``is_mirror*MirrorReflectance`` vs ``is_dielectric*F*transparency``), so
+    the branch factor is 2 only when the scene holds dielectrics.
+    """
+    hit = nearest_hit(scene, o, d)
+    contrib, p, n, mats, hit_mask = _local_radiance(scene, o, d, cfg, hit)
+    radiance = contrib
+
+    if depth >= cfg.max_bounces:
+        return radiance
+
+    hm = hit_mask[:, None]
+    # Effective normal for refraction: oppose the incident direction.
+    d_dot_n = jnp.sum(d * n, axis=-1, keepdims=True)
+    entering = (d_dot_n < 0.0)
+    n_eff = jnp.where(entering, n, -n)
+    is_die = mats.is_dielectric[:, None]
+    is_mir = mats.is_mirror[:, None]
+
+    # Reflection branch (mirror uses the stored surface normal, dielectric
+    # the effective one; identical for front-face hits).
+    n_refl = jnp.where(is_die, n_eff, n)
+    ro = p + n_refl * SHADOW_EPS
+    rd = sh.reflect_dir(d, n_refl)
+    rd_safe = jnp.where(hm, rd, jnp.asarray([0.0, 0.0, 1.0]))
+
+    ior = mats.ior
+    n1 = jnp.where(entering[:, 0], 1.0, ior)
+    n2 = jnp.where(entering[:, 0], ior, 1.0)
+    cos_i = jnp.abs(d_dot_n[:, 0])
+    refr_d, tir = sh.refract_dir(d, n_eff, n1 / n2)
+    fres = jnp.where(tir, 1.0, sh.schlick_fresnel(cos_i, n1, n2))[:, None]
+
+    w_refl = (is_mir * mats.mirror
+              + is_die * fres * mats.transparency) * hm
+    child_r = _trace_tree(scene, ro, rd_safe, cfg, depth + 1)
+    radiance = radiance + w_refl * child_r
+
+    if scene_has_dielectrics_static(scene):
+        to = p - n_eff * SHADOW_EPS
+        refr_safe = jnp.where((hm & is_die & ~tir[:, None]),
+                              refr_d, jnp.asarray([0.0, 0.0, 1.0]))
+        w_refr = is_die * (1.0 - fres) * mats.transparency * hm \
+            * (~tir[:, None]).astype(jnp.float32)
+        child_t = _trace_tree(scene, to, refr_safe, cfg, depth + 1)
+        radiance = radiance + w_refr * child_t
+    return radiance
+
+
+_HAS_DIELECTRIC_HINT: dict = {}
+
+
+def scene_has_dielectrics_static(scene: Scene) -> bool:
+    """Static (trace-time) dielectric hint.
+
+    Inside jit the scene leaves are tracers, so the concrete flag must be
+    decided before tracing; `trace_radiance` resolves cfg.mode='auto' outside
+    jit and threads the decision through as the static ``mode``.
+    """
+    try:
+        return scene.has_dielectrics  # concrete scene
+    except jax.errors.TracerArrayConversionError:
+        return True  # conservative under jit if mode was not resolved
+
+
+def resolve_mode(scene: Scene, cfg: RenderConfig) -> RenderConfig:
+    """Resolve mode='auto' on a concrete scene (call outside jit)."""
+    if cfg.mode != "auto":
+        return cfg
+    try:
+        tree = scene.has_dielectrics
+    except jax.errors.TracerArrayConversionError as e:
+        raise ValueError(
+            "RenderConfig.mode='auto' must be resolved on a concrete scene "
+            "before jit; call resolve_mode() first.") from e
+    return cfg.with_(mode="tree" if tree else "scan")
+
+
+@partial(jax.jit, static_argnames=("cfg",))
+def trace_radiance(scene: Scene, o: jnp.ndarray, d: jnp.ndarray,
+                   cfg: RenderConfig) -> jnp.ndarray:
+    """Radiance [N,3] (0-255 scale) for arbitrary ray batches."""
+    mode = cfg.mode
+    if mode == "auto":  # under jit this must have been resolved already
+        mode = "tree"
+    if mode == "scan":
+        return _trace_chain(scene, o, d, cfg)
+    return _trace_tree(scene, o, d, cfg, 0)
+
+
+def render(scene: Scene, cam: Camera, cfg: RenderConfig) -> jnp.ndarray:
+    """Render the full image [H,W,3] on the display (0-1) scale.
+
+    Host-side wrapper: resolves 'auto' mode, generates primary rays, chunks
+    them if requested (bounding the [rays x prims] working set), and jit-runs
+    the trace.
+    """
+    cfg = resolve_mode(scene, cfg)
+    o, d = generate_rays(cam)
+    n = o.shape[0]
+    if cfg.ray_chunk and cfg.ray_chunk < n:
+        c = cfg.ray_chunk
+        pad = (-n) % c
+        if pad:
+            o = jnp.concatenate([o, jnp.zeros((pad, 3), o.dtype)
+                                 .at[:, 2].set(1.0)], axis=0)
+            d = jnp.concatenate([d, jnp.zeros((pad, 3), d.dtype)
+                                 .at[:, 2].set(1.0)], axis=0)
+        oc = o.reshape(-1, c, 3)
+        dc = d.reshape(-1, c, 3)
+        rad = jax.lax.map(lambda od: trace_radiance(scene, od[0], od[1], cfg),
+                          (oc, dc)).reshape(-1, 3)[:n]
+    else:
+        rad = trace_radiance(scene, o, d, cfg)
+    img = rad.reshape(cam.height, cam.width, 3) / 255.0
+    return img

@@ -1,0 +1,179 @@
+"""Batched Blinn-Phong shading terms + surface attribute gathers.
+
+Everything operates on flat ray batches ``[N]``; control flow from the
+reference's recursive shader (Demo-RayTracing/RayTracingSetup.cs:304-455)
+appears here as masks. Radiance lives on the reference's 0-255 "Rgb" scale
+throughout (Data/Shading/Rgb.cs); conversion to display scale happens once at
+image assembly.
+"""
+
+from __future__ import annotations
+
+from typing import Tuple
+
+import jax
+import jax.numpy as jnp
+
+from unity_raytracer_tpu.models.scene import Materials, Scene
+from unity_raytracer_tpu.ops import intersect as isect
+from unity_raytracer_tpu.ops.intersect import (
+    Hit, KIND_MESH, KIND_SPHERE, KIND_TRI)
+
+SHADOW_EPS = 1e-4  # ShadowRayEpsilon, RayTracingSetup.cs:42
+
+
+def _sel3(mask: jnp.ndarray, a: jnp.ndarray, b: jnp.ndarray) -> jnp.ndarray:
+    return jnp.where(mask[:, None], a, b)
+
+
+def surface_attributes(scene: Scene, p: jnp.ndarray,
+                       hit: Hit) -> Tuple[jnp.ndarray, Materials]:
+    """Per-ray surface normal and material via masked gathers.
+
+    Replaces the reference's ObjectType switch
+    (RayTracingSetup.cs:409-436): gather each category at the clipped hit
+    index, then select by category code. Sphere normals are recomputed from
+    the hit point (GetSphereNormal, RayTracingSetup.cs:402-407); triangle and
+    mesh normals are table lookups.
+    """
+    idx = jnp.clip(hit.index, 0, None)
+
+    # sphere normal: normalize(p - center)
+    sc = jnp.take(scene.spheres.centers, jnp.clip(idx, 0, scene.spheres.count - 1),
+                  axis=0)
+    sn = p - sc
+    sn = sn / jnp.maximum(jnp.linalg.norm(sn, axis=-1, keepdims=True), 1e-30)
+
+    tn = jnp.take(scene.triangles.normals,
+                  jnp.clip(idx, 0, scene.triangles.count - 1), axis=0)
+    mn = jnp.take(scene.meshes.normals,
+                  jnp.clip(idx, 0, scene.meshes.count - 1), axis=0)
+
+    n = _sel3(hit.kind == KIND_SPHERE, sn,
+              _sel3(hit.kind == KIND_MESH, mn, tn))
+
+    m_sph = scene.spheres.materials.take(
+        jnp.clip(idx, 0, scene.spheres.count - 1))
+    m_tri = scene.triangles.materials.take(
+        jnp.clip(idx, 0, scene.triangles.count - 1))
+    m_mesh = scene.meshes.mesh_materials.take(
+        jnp.clip(hit.mesh_index, 0, scene.meshes.mesh_count - 1))
+
+    def sel(a, b, c):  # sphere / mesh / tri per-field select
+        is_s = hit.kind == KIND_SPHERE
+        is_m = hit.kind == KIND_MESH
+        if a.ndim == 2:
+            return jnp.where(is_s[:, None], a, jnp.where(is_m[:, None], b, c))
+        return jnp.where(is_s, a, jnp.where(is_m, b, c))
+
+    mats = jax.tree.map(sel, m_sph, m_mesh, m_tri)
+    return n, mats
+
+
+def shadow_min_t(scene: Scene, o: jnp.ndarray, d: jnp.ndarray) -> jnp.ndarray:
+    """Minimum hit distance per ray (no identity), +inf on miss.
+
+    The reference issues a *full* nearest-hit query per shadow ray
+    (RayTracingSetup.cs:333) but only consumes the distance; the occlusion
+    predicate ``min_t^2 < light_dist^2`` is equivalent under nearest- or
+    any-hit, so this cheaper min-reduction is exact.
+    """
+    t_m = isect.ray_triangles(o, d, scene.meshes.verts, scene.meshes.valid)
+    t_s = isect.ray_spheres(o, d, scene.spheres.centers,
+                            scene.spheres.radius_sq, scene.spheres.valid)
+    t_t = isect.ray_triangles(o, d, scene.triangles.verts, scene.triangles.valid)
+    t = jnp.minimum(jnp.minimum(t_m.min(axis=1), t_s.min(axis=1)),
+                    t_t.min(axis=1))
+    in_box = isect.ray_aabb(o, d, scene.aabb_min[None, :], scene.aabb_max[None, :])
+    return jnp.where(in_box, t, jnp.inf)
+
+
+def _soft_or_hard_vis(hard: jnp.ndarray, margin: jnp.ndarray, temp: float,
+                      straight_through: bool) -> jnp.ndarray:
+    """Visibility in [0,1]. temp==0 -> hard. Otherwise sigmoid(margin/temp);
+    with straight_through the forward value is hard and only gradients are
+    soft (out = soft + stop_grad(hard - soft))."""
+    if temp <= 0.0:
+        return hard.astype(jnp.float32)
+    soft = jax.nn.sigmoid(margin / temp)
+    if straight_through:
+        return soft + jax.lax.stop_gradient(hard.astype(jnp.float32) - soft)
+    return soft
+
+
+def direct_lighting(scene: Scene, p: jnp.ndarray, n: jnp.ndarray,
+                    v: jnp.ndarray, mats: Materials,
+                    soft_shadow_temp: float = 0.0,
+                    straight_through: bool = True) -> jnp.ndarray:
+    """Ambient + per-light shadowed diffuse + Blinn-Phong specular, [N,3].
+
+    Mirrors the light loop (RayTracingSetup.cs:324-356):
+    * shadow ray from ``p + n*1e-4`` toward the light; light skipped when an
+      occluder sits closer than the light (hitDist^2 < lightDist^2, :337-345)
+    * irradiance ``Intensity / d^2`` (:350)
+    * diffuse ``kd * max(0, l.n) * E`` (:443-455)
+    * specular ``ks * max(0, n.h)^phong * E`` with halfway ``(l+v)/|l+v|``,
+      zeroed when the light is behind the surface (l.n < 0 — the reference
+      computes ``degrees(acos(l.n)) > 90``, :375-400)
+    """
+    L = scene.lights.positions.shape[0]
+    N = p.shape[0]
+
+    color = mats.ambient * scene.lights.ambient[None, :]  # [N,3] (:438-441)
+
+    lvec = scene.lights.positions[None, :, :] - p[:, None, :]      # [N,L,3]
+    ldist_sq = jnp.sum(lvec * lvec, axis=-1)                       # [N,L]
+    ldir = lvec / jnp.sqrt(ldist_sq)[..., None]
+
+    so = p + n * SHADOW_EPS                                        # [N,3]
+    so_flat = jnp.broadcast_to(so[:, None, :], (N, L, 3)).reshape(-1, 3)
+    sd_flat = ldir.reshape(-1, 3)
+    st = shadow_min_t(scene, so_flat, sd_flat).reshape(N, L)
+
+    occluded = (st * st) < ldist_sq                                # [N,L]
+    vis = _soft_or_hard_vis(~occluded, (st * st) - ldist_sq,
+                            soft_shadow_temp, straight_through)
+
+    irr = scene.lights.intensities[None, :, :] / ldist_sq[..., None]  # [N,L,3]
+    ln = jnp.sum(ldir * n[:, None, :], axis=-1)                    # [N,L]
+    diffuse = mats.diffuse[:, None, :] * jnp.maximum(0.0, ln)[..., None] * irr
+
+    hv = ldir + v[:, None, :]
+    hv = hv / jnp.maximum(jnp.linalg.norm(hv, axis=-1, keepdims=True), 1e-30)
+    nh = jnp.maximum(0.0, jnp.sum(n[:, None, :] * hv, axis=-1))    # [N,L]
+    spec_mask = (ln >= 0.0).astype(jnp.float32)                    # behind cut
+    spec = (mats.specular[:, None, :]
+            * (nh ** mats.phong[:, None])[..., None] * irr
+            * spec_mask[..., None])
+
+    lvalid = scene.lights.valid[None, :, None].astype(jnp.float32)
+    color = color + jnp.sum((diffuse + spec) * vis[..., None] * lvalid, axis=1)
+    return color
+
+
+def reflect_dir(d: jnp.ndarray, n: jnp.ndarray) -> jnp.ndarray:
+    """Mirror direction. The reference computes ``2 n (v.n) - v`` with
+    ``v = -d`` (Reflect, RayTracingSetup.cs:368-373); equivalently
+    ``d - 2 n (d.n)``. Unit-length when d, n are."""
+    return d - 2.0 * n * jnp.sum(d * n, axis=-1, keepdims=True)
+
+
+def refract_dir(d: jnp.ndarray, n: jnp.ndarray,
+                eta: jnp.ndarray) -> Tuple[jnp.ndarray, jnp.ndarray]:
+    """Snell refraction (extension; no refraction exists in the reference).
+
+    ``n`` must oppose ``d`` (cos_i = -d.n >= 0). Returns (refracted dir,
+    total-internal-reflection mask). On TIR the direction is garbage —
+    callers must mask."""
+    cos_i = -jnp.sum(d * n, axis=-1, keepdims=True)
+    k = 1.0 - eta[:, None] ** 2 * (1.0 - cos_i ** 2)
+    tir = (k < 0.0)[:, 0]
+    k_safe = jnp.maximum(k, 0.0)
+    out = eta[:, None] * d + (eta[:, None] * cos_i - jnp.sqrt(k_safe)) * n
+    return out, tir
+
+
+def schlick_fresnel(cos_i: jnp.ndarray, n1: jnp.ndarray,
+                    n2: jnp.ndarray) -> jnp.ndarray:
+    r0 = ((n1 - n2) / (n1 + n2)) ** 2
+    return r0 + (1.0 - r0) * (1.0 - cos_i) ** 5

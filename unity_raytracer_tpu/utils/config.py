@@ -1,0 +1,49 @@
+"""Frozen config dataclasses (static, hashable — safe as jit static args).
+
+The reference's "config system" is serialized Unity scene YAML + inspector
+fields (Demo-RayTracing/RayTracing.unity:346-364, RayTracingSetup.cs:21-36).
+Here configs are code: frozen dataclasses, overridable from the CLI.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass, field, replace
+from typing import Optional, Tuple
+
+
+@dataclass(frozen=True)
+class DiffConfig:
+    """Differentiability knobs.
+
+    ``soft_shadow_temp > 0`` relaxes the hard shadow test
+    (hitDist^2 < lightDist^2, reference RayTracingSetup.cs:337-345) into a
+    sigmoid so silhouette gradients exist. With ``straight_through=True`` the
+    forward value stays exactly hard (parity preserved) while the backward
+    pass sees the soft function — see ops/softvis.py.
+    """
+
+    soft_shadow_temp: float = 0.0
+    soft_hit_temp: float = 0.0
+    straight_through: bool = True
+
+
+@dataclass(frozen=True)
+class RenderConfig:
+    """Static render parameters.
+
+    ``max_bounces`` caps mirror/refraction recursion depth like
+    ``MaxReflectionBounces`` (RayTracingSetup.cs:23,358): a ray segment at
+    depth == max_bounces shades locally but spawns no children.
+    ``background`` is on the display 0-1 scale (Unity Color), multiplied by
+    255 onto the radiance scale internally (Rgb.cs:17).
+    """
+
+    max_bounces: int = 0
+    background: Tuple[float, float, float] = (0.0, 0.0, 0.0)
+    mode: str = "auto"          # 'scan' | 'tree' | 'auto'
+    ray_chunk: Optional[int] = None  # rays per chunk (None = all at once)
+    use_bvh: bool = False
+    diff: DiffConfig = field(default_factory=DiffConfig)
+
+    def with_(self, **kw) -> "RenderConfig":
+        return replace(self, **kw)
