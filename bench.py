@@ -1,0 +1,133 @@
+"""Benchmark harness — flagship: rays/s/chip, 1080p, depth-4, 100k-tri BVH.
+
+Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"}.
+The reference publishes no numbers (BASELINE.md) — vs_baseline is measured
+against the north-star target of 1e9 rays/s/chip.
+
+Ray accounting (what "a ray" is): every traced scene query — primary rays,
+mirror-bounce continuations, and shadow rays (pixels * segments * (1 +
+lights) in the worst case, discounted by how many lanes are still active is
+NOT attempted: we count issued queries, the standard wavefront accounting).
+
+Usage: python bench.py [--preset mesh100k] [--width W --height H]
+                       [--repeats N] [--no-bvh] [--all]
+"""
+
+import argparse
+import json
+import sys
+import time
+
+import numpy as np
+
+
+def count_rays(cfg, width, height, n_lights):
+    """Issued scene queries per frame for the linear chain renderer."""
+    pixels = width * height
+    segments = cfg.max_bounces + 1
+    # per segment: 1 nearest-hit query + n_lights shadow queries
+    return pixels * segments * (1 + n_lights)
+
+
+def run_once(name="mesh100k", width=None, height=None, repeats=3,
+             use_bvh=True, max_bounces=None):
+    import jax
+
+    from unity_raytracer_tpu.models.presets import get_preset
+    from unity_raytracer_tpu.models.camera import generate_rays
+    from unity_raytracer_tpu.ops import bvh as bvhmod
+    from unity_raytracer_tpu.ops.render import resolve_mode, trace_radiance
+
+    kw = {}
+    if width:
+        kw["width"] = width
+    if height:
+        kw["height"] = height
+    scene, cam, cfg = get_preset(name, **kw)
+    cfg = resolve_mode(scene, cfg.with_(use_bvh=use_bvh))
+    if max_bounces is not None:
+        cfg = cfg.with_(max_bounces=max_bounces)
+
+    bvh = None
+    if use_bvh and int(np.asarray(scene.meshes.valid).sum()) > 0:
+        t0 = time.perf_counter()
+        bvh = bvhmod.build(np.asarray(scene.meshes.verts),
+                           np.asarray(scene.meshes.valid))
+        build_s = time.perf_counter() - t0
+    else:
+        build_s = 0.0
+
+    o, d = generate_rays(cam)
+
+    def frame():
+        return trace_radiance(scene, o, d, cfg, bvh=bvh)
+
+    # compile
+    t0 = time.perf_counter()
+    out = frame()
+    jax.block_until_ready(out)
+    compile_s = time.perf_counter() - t0
+
+    times = []
+    for _ in range(repeats):
+        t0 = time.perf_counter()
+        out = frame()
+        jax.block_until_ready(out)
+        times.append(time.perf_counter() - t0)
+    best = min(times)
+
+    n_lights = int(np.asarray(scene.lights.valid).sum())
+    rays = count_rays(cfg, cam.width, cam.height, n_lights)
+    return {
+        "preset": name,
+        "width": cam.width,
+        "height": cam.height,
+        "depth": cfg.max_bounces,
+        "lights": n_lights,
+        "mesh_tris": int(np.asarray(scene.meshes.valid).sum()),
+        "use_bvh": bvh is not None,
+        "bvh_build_s": round(build_s, 3),
+        "compile_s": round(compile_s, 2),
+        "frame_s": best,
+        "rays": rays,
+        "rays_per_s": rays / best,
+        "device": str(jax.devices()[0]),
+    }
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--preset", default="mesh100k")
+    ap.add_argument("--width", type=int, default=None)
+    ap.add_argument("--height", type=int, default=None)
+    ap.add_argument("--repeats", type=int, default=3)
+    ap.add_argument("--no-bvh", action="store_true")
+    ap.add_argument("--all", action="store_true",
+                    help="also time the other presets (to stderr)")
+    args = ap.parse_args()
+
+    if args.all:
+        for p in ["three_spheres", "cornell_box", "mesh10k"]:
+            try:
+                r = run_once(p, repeats=max(1, args.repeats - 1))
+                print(json.dumps(r), file=sys.stderr)
+            except Exception as e:  # keep flagship result flowing
+                print(f"[bench] {p} failed: {e}", file=sys.stderr)
+
+    r = run_once(args.preset, width=args.width, height=args.height,
+                 repeats=args.repeats, use_bvh=not args.no_bvh)
+    print(json.dumps({k: v for k, v in r.items()
+                      if k not in ("rays_per_s",)}), file=sys.stderr)
+
+    target = 1e9  # north-star rays/s/chip (BASELINE.md)
+    print(json.dumps({
+        "metric": "rays_per_s_per_chip_fwd_1080p_d4_100k_bvh"
+        if args.preset == "mesh100k" else f"rays_per_s_{args.preset}",
+        "value": r["rays_per_s"],
+        "unit": "rays/s",
+        "vs_baseline": r["rays_per_s"] / target,
+    }))
+
+
+if __name__ == "__main__":
+    main()

@@ -1,10 +1,12 @@
-"""Golden-image tests: batched JAX renderer vs the scalar oracle.
+"""Golden-image tests: batched JAX renderer vs oracle-generated goldens.
 
-The oracle (unity_raytracer_tpu/oracle.py) is the executable transcription of
-the reference's forward semantics; agreement here is the 'forward renders
-match the reference trace to allclose' requirement. Oracle is O(pixels x
-prims x bounces) scalar Python, so images stay small.
+tests/goldens/*.npy are rendered by the scalar oracle
+(scripts/gen_goldens.py) — the executable transcription of the reference's
+forward semantics. The default (fast) tests compare against those stored
+goldens; ``-m slow`` re-runs the live oracle end to end.
 """
+
+from pathlib import Path
 
 import numpy as np
 import pytest
@@ -14,37 +16,43 @@ from unity_raytracer_tpu.models.presets import (
     reference_demo, three_spheres, cornell_box)
 from unity_raytracer_tpu.ops.render import render
 
+GOLDENS = Path(__file__).parent / "goldens"
 
-def _compare(preset_fn, w, h, atol=2e-4, rtol=1e-3, **kw):
-    scene, cam, cfg = preset_fn(width=w, height=h, **kw)
+CASES = {
+    "reference_demo": (reference_demo, 32, 32),
+    "three_spheres": (three_spheres, 32, 32),
+    "cornell_box": (cornell_box, 24, 24),
+}
+
+
+def _check(img, ref, h, w):
+    assert img.shape == ref.shape == (h, w, 3)
+    err = np.abs(img - ref)
+    assert np.quantile(err, 0.999) < 5e-3, f"p999 err {np.quantile(err, 0.999)}"
+    assert np.mean(err) < 2e-4 + 1e-3 * np.mean(np.abs(ref)), (
+        f"mean err {err.mean()} vs mean ref {np.abs(ref).mean()}")
+
+
+@pytest.mark.parametrize("name", sorted(CASES))
+def test_golden(name):
+    fn, w, h = CASES[name]
+    scene, cam, cfg = fn(width=w, height=h)
+    img = np.asarray(render(scene, cam, cfg))
+    ref = np.load(GOLDENS / f"{name}_{w}x{h}.npy")
+    _check(img, ref, h, w)
+    assert img.max() > 0.05  # scene actually visible
+
+
+@pytest.mark.slow
+@pytest.mark.parametrize("name", sorted(CASES))
+def test_live_oracle_parity(name):
+    """Full live comparison against the scalar oracle (slow)."""
+    fn, w, h = CASES[name]
+    scene, cam, cfg = fn(width=w, height=h)
     img = np.asarray(render(scene, cam, cfg))
     osc = oracle.from_scene(scene)
     ref = oracle.render(osc, cam, cfg.max_bounces, background=cfg.background)
-    assert img.shape == ref.shape == (h, w, 3)
-    # fp32 batched vs fp64 scalar: allow small absolute slack, flag big drift
-    err = np.abs(img - ref)
-    assert np.quantile(err, 0.999) < 5e-3, f"p999 err {np.quantile(err, 0.999)}"
-    assert np.mean(err) < atol + rtol * np.mean(np.abs(ref)), (
-        f"mean err {err.mean()} vs mean ref {np.abs(ref).mean()}")
-    return img, ref
-
-
-def test_reference_demo_parity():
-    """The reconstructed reference demo scene (mirror chain, depth 5)."""
-    img, ref = _compare(reference_demo, 32, 32)
-    # sanity: scene is actually visible (not all background)
-    assert img.max() > 0.05
-
-
-def test_three_spheres_parity():
-    img, ref = _compare(three_spheres, 32, 32)
-    assert img.max() > 0.05
-
-
-def test_cornell_box_parity():
-    """Depth-4 with mirror + dielectric: exercises the branching tree."""
-    img, ref = _compare(cornell_box, 24, 24)
-    assert img.max() > 0.05
+    _check(img, ref, h, w)
 
 
 def test_chunked_matches_unchunked():

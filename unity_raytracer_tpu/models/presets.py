@@ -81,9 +81,9 @@ def three_spheres(width: int = 256, height: int = 256) -> Preset:
     # wound so the derived normal (cross(v2-v0, v1-v0)) points up (+y)
     b.add_triangle((-g, 0, -g), (g, 0, -g), (g, 0, g), gmat)
     b.add_triangle((-g, 0, -g), (g, 0, g), (-g, 0, g), gmat)
-    b.add_point_light((10, 20, 10), 8000.0)
-    b.add_point_light((-15, 12, 35), 4000.0)
-    b.set_ambient((8, 8, 8))
+    b.add_point_light((10, 20, 10), 40000.0)
+    b.add_point_light((-15, 12, 35), 18000.0)
+    b.set_ambient((20, 20, 20))
     scene = b.build()
     cam = Camera.make(position=(0, 4, 0), forward=(0, -0.08, 1), up=(0, 1, 0),
                       dist=1.0, half_h=0.9, half_v=0.9 * height / width,

@@ -90,7 +90,10 @@ def ray_spheres(o: jnp.ndarray, d: jnp.ndarray, centers: jnp.ndarray,
     uoc = jnp.sum(d[:, None, :] * oc, axis=-1)          # [N,S]
     oc_sq = jnp.sum(oc * oc, axis=-1)
     disc = uoc * uoc - (oc_sq - radius_sq[None, :])
-    sq = jnp.sqrt(jnp.maximum(disc, 0.0))
+    # double-where: sqrt'(0)=inf would leak NaN into gradients of missed
+    # lanes (inf * 0 mask); feed sqrt a safe positive value there instead
+    disc_safe = jnp.where(disc < 0, 1.0, disc)
+    sq = jnp.sqrt(disc_safe)
     big = -uoc + sq
     small = -uoc - sq
     t = jnp.where(small < 0, big, small)
@@ -116,7 +119,8 @@ def ray_spheres_mm(o: jnp.ndarray, d: jnp.ndarray, centers: jnp.ndarray,
     uoc = do - dC
     oc_sq = oo - 2.0 * oC + cc
     disc = uoc * uoc - (oc_sq - radius_sq[None, :])
-    sq = jnp.sqrt(jnp.maximum(disc, 0.0))
+    disc_safe = jnp.where(disc < 0, 1.0, disc)
+    sq = jnp.sqrt(disc_safe)
     big = -uoc + sq
     small = -uoc - sq
     t = jnp.where(small < 0, big, small)
@@ -153,6 +157,32 @@ def ray_triangles(o: jnp.ndarray, d: jnp.ndarray, verts: jnp.ndarray,
     return jnp.where(miss, INF, t)
 
 
+def sphere_margins(scene, o: jnp.ndarray, d: jnp.ndarray
+                   ) -> Tuple[jnp.ndarray, jnp.ndarray]:
+    """Soft-silhouette support: per-(ray, sphere) hit margin and
+    closest-approach distance.
+
+    margin = discriminant / r^2 (dimensionless): > 0 inside the silhouette,
+    < 0 outside, crossing 0 exactly at the visual edge — the quantity a
+    sigmoid relaxes to give silhouette gradients (absent in the reference,
+    and impossible there; required for inverse rendering, SURVEY.md §2.2).
+    Spheres behind the ray origin are pushed to margin=-inf.
+    Returns (margin [N,S], t_closest [N,S]).
+    """
+    centers = scene.spheres.centers
+    r2 = scene.spheres.radius_sq
+    oc = o[:, None, :] - centers[None, :, :]
+    uoc = jnp.sum(d[:, None, :] * oc, axis=-1)
+    oc_sq = jnp.sum(oc * oc, axis=-1)
+    disc = uoc * uoc - (oc_sq - r2[None, :])
+    margin = disc / jnp.maximum(r2[None, :], 1e-12)
+    in_front = (-uoc) > 0.0
+    ok = in_front & scene.spheres.valid[None, :]
+    margin = jnp.where(ok, margin, -jnp.inf)
+    t_close = jnp.maximum(-uoc, 1e-3)
+    return margin, t_close
+
+
 def _best(t: jnp.ndarray) -> Tuple[jnp.ndarray, jnp.ndarray]:
     """Per-ray (min t, argmin). jnp.argmin takes the first minimum, which
     matches the reference's strict-``>`` update keeping the earliest of
@@ -162,23 +192,29 @@ def _best(t: jnp.ndarray) -> Tuple[jnp.ndarray, jnp.ndarray]:
     return tmin, idx
 
 
-def nearest_hit(scene, o: jnp.ndarray, d: jnp.ndarray) -> Hit:
-    """Brute-force nearest hit over all three categories.
+def nearest_hit(scene, o: jnp.ndarray, d: jnp.ndarray, bvh=None) -> Hit:
+    """Nearest hit over all three categories (brute force or BVH).
 
     Combine order and strict ``>`` tie-breaking replicate
     Scene.IntersectRay (Scene.cs:43-122): mesh triangles, then spheres, then
     loose triangles. The reference's per-mesh AABB gate (Scene.cs:66) is a
     scalar-era culling trick; in the batched regime primary rays hit nearly
-    every gate so we intersect all mesh triangles directly (the BVH is the
-    real acceleration path — see ops/bvh.py).
+    every gate so we intersect all mesh triangles directly — or, when
+    ``bvh`` is given, via the threaded-BVH traversal (ops/bvh.py), which
+    subsumes the gate entirely.
 
     The scene-level AABB early-out (Scene.cs:54) is applied as a final mask:
     rays missing the scene box report miss regardless (also semantics-exact:
     inside the box the gate passes for every ray that could hit anything).
     """
     n = o.shape[0]
-    t_mesh, i_mesh = _best(ray_triangles(o, d, scene.meshes.verts,
-                                         scene.meshes.valid))
+    if bvh is None:
+        t_mesh, i_mesh = _best(ray_triangles(o, d, scene.meshes.verts,
+                                             scene.meshes.valid))
+    else:
+        from unity_raytracer_tpu.ops.bvh import traverse
+        t_mesh, i_mesh = traverse(bvh, o, d)
+        i_mesh = jnp.clip(i_mesh, 0, None)  # downstream masks on kind
     t_sph, i_sph = _best(ray_spheres(o, d, scene.spheres.centers,
                                      scene.spheres.radius_sq,
                                      scene.spheres.valid))

@@ -39,15 +39,53 @@ SHADOW_EPS = sh.SHADOW_EPS
 
 
 def _local_radiance(scene: Scene, o, d, cfg: RenderConfig,
-                    hit: Hit) -> Tuple[jnp.ndarray, jnp.ndarray, jnp.ndarray,
-                                       object, jnp.ndarray]:
+                    hit: Hit, bvh=None) -> Tuple[jnp.ndarray, jnp.ndarray,
+                                                 jnp.ndarray, object,
+                                                 jnp.ndarray]:
     """Shared per-segment work: surface point, attributes, local shading.
 
     Returns (contrib [N,3] — local radiance or background, p, n, mats,
     hit_mask). Masked lanes carry safe (finite) values.
     """
     hit_mask = hit.is_hit
-    t_safe = jnp.where(hit_mask, hit.t, 1.0)
+    soft_temp = cfg.diff.soft_hit_temp
+    if soft_temp > 0.0:
+        # SoftRas-style silhouette relaxation for spheres: miss rays adopt a
+        # proxy hit on their best near-miss sphere (shaded at the closest-
+        # approach point) so the soft blend weight has a sensible color to
+        # blend toward; forward values stay exactly hard via straight-through.
+        from unity_raytracer_tpu.ops.intersect import (
+            KIND_SPHERE, sphere_margins)
+        margin_mat, t_close_mat = sphere_margins(scene, o, d)
+        j = jnp.argmax(margin_mat, axis=1).astype(jnp.int32)
+        take = lambda m: jnp.take_along_axis(m, j[:, None], axis=1)[:, 0]
+        m_best = take(margin_mat)
+        proxy_ok = jnp.isfinite(m_best)
+        use_proxy = ~hit_mask & proxy_ok
+        hit = Hit(
+            t=jnp.where(use_proxy, take(t_close_mat), hit.t),
+            kind=jnp.where(use_proxy, KIND_SPHERE, hit.kind),
+            index=jnp.where(use_proxy, j, hit.index),
+            mesh_index=hit.mesh_index)
+        shade_mask = hit_mask | use_proxy
+        # winner margin: sphere hits use their own margin (relaxes the
+        # sphere's own silhouette); non-sphere hits stay hard (+inf)
+        win_sphere = hit_mask & (hit.kind == KIND_SPHERE)
+        own = jnp.take_along_axis(
+            margin_mat, jnp.clip(hit.index, 0, None)[:, None], axis=1)[:, 0]
+        margin_sel = jnp.where(win_sphere | use_proxy, own, jnp.inf)
+        w_soft = jax.nn.sigmoid(
+            jnp.clip(margin_sel / soft_temp, -30.0, 30.0))
+        if cfg.diff.straight_through:  # forward hard, backward soft
+            w = w_soft + jax.lax.stop_gradient(
+                hit_mask.astype(jnp.float32) - w_soft)
+        else:
+            w = w_soft
+    else:
+        shade_mask = hit_mask
+        w = hit_mask.astype(jnp.float32)
+
+    t_safe = jnp.where(shade_mask, hit.t, 1.0)
     p = o + d * t_safe[:, None]
     n, mats = sh.surface_attributes(scene, p, hit)
     v = -d  # unit direction back toward the segment origin (= reference's
@@ -55,14 +93,15 @@ def _local_radiance(scene: Scene, o, d, cfg: RenderConfig,
     local = sh.direct_lighting(
         scene, p, n, v, mats,
         soft_shadow_temp=cfg.diff.soft_shadow_temp,
-        straight_through=cfg.diff.straight_through)
+        straight_through=cfg.diff.straight_through, bvh=bvh)
     bg = jnp.asarray(cfg.background, jnp.float32) * 255.0
-    contrib = jnp.where(hit_mask[:, None], local, bg[None, :])
+    local_safe = jnp.where(shade_mask[:, None], local, bg[None, :])
+    contrib = bg[None, :] + w[:, None] * (local_safe - bg[None, :])
     return contrib, p, n, mats, hit_mask
 
 
 def _trace_chain(scene: Scene, o: jnp.ndarray, d: jnp.ndarray,
-                 cfg: RenderConfig) -> jnp.ndarray:
+                 cfg: RenderConfig, bvh=None) -> jnp.ndarray:
     """Mirror-only linear bounce chain — exact reference semantics.
 
     Segment s contributes ``prod(mirror_0..s-1) * local_s``; the chain stops
@@ -76,8 +115,9 @@ def _trace_chain(scene: Scene, o: jnp.ndarray, d: jnp.ndarray,
     active = jnp.ones((n_rays,), bool)
 
     for depth in range(cfg.max_bounces + 1):
-        hit = nearest_hit(scene, o, d)
-        contrib, p, n, mats, hit_mask = _local_radiance(scene, o, d, cfg, hit)
+        hit = nearest_hit(scene, o, d, bvh=bvh)
+        contrib, p, n, mats, hit_mask = _local_radiance(scene, o, d, cfg, hit,
+                                                        bvh=bvh)
         acc = acc + thr * contrib * active[:, None]
         if depth == cfg.max_bounces:
             break
@@ -90,57 +130,84 @@ def _trace_chain(scene: Scene, o: jnp.ndarray, d: jnp.ndarray,
 
 
 def _trace_tree(scene: Scene, o: jnp.ndarray, d: jnp.ndarray,
-                cfg: RenderConfig, depth: int,
-                weight: Optional[jnp.ndarray] = None) -> jnp.ndarray:
-    """Whitted tree with mirror + dielectric branches (static recursion).
+                cfg: RenderConfig, depth: int, bvh=None) -> jnp.ndarray:
+    """Whitted tree with mirror + dielectric branches, evaluated as a
+    LEVEL-SYNCHRONOUS WAVEFRONT.
 
-    Reflection children are shared between mirrors and dielectrics (weights
-    ``is_mirror*MirrorReflectance`` vs ``is_dielectric*F*transparency``), so
-    the branch factor is 2 only when the scene holds dielectrics.
+    A naive recursive tree would inline 2^depth intersect+shade stages and
+    blow up XLA compile time exponentially. Instead each depth level is ONE
+    batched stage over a widened lane array: every dielectric hit forks its
+    lane into (reflect, refract) children — lane count doubles per level on
+    dielectric scenes, totalling the same segment work as the tree — and a
+    segment scatter-add folds each lane's weighted radiance back into its
+    primary ray. Mirror-only scenes should use the linear chain instead
+    (mode='scan').
+
+    The reflect child is shared between mirrors (weight
+    ``is_mirror*MirrorReflectance``, reference RayTracingSetup.cs:358-363)
+    and dielectrics (weight ``is_dielectric*F*transparency``, Schlick
+    Fresnel — the refraction extension the reference lacks).
     """
-    hit = nearest_hit(scene, o, d)
-    contrib, p, n, mats, hit_mask = _local_radiance(scene, o, d, cfg, hit)
-    radiance = contrib
+    del depth  # the wavefront always starts at the root
+    n_rays = o.shape[0]
+    branching = scene_has_dielectrics_static(scene)
 
-    if depth >= cfg.max_bounces:
-        return radiance
+    acc = jnp.zeros((n_rays, 3), jnp.float32)
+    parent = jnp.arange(n_rays, dtype=jnp.int32)   # lane -> primary ray
+    weight = jnp.ones((n_rays, 3), jnp.float32)    # accumulated throughput
+    live = jnp.ones((n_rays,), bool)
 
-    hm = hit_mask[:, None]
-    # Effective normal for refraction: oppose the incident direction.
-    d_dot_n = jnp.sum(d * n, axis=-1, keepdims=True)
-    entering = (d_dot_n < 0.0)
-    n_eff = jnp.where(entering, n, -n)
-    is_die = mats.is_dielectric[:, None]
-    is_mir = mats.is_mirror[:, None]
+    for level in range(cfg.max_bounces + 1):
+        hit = nearest_hit(scene, o, d, bvh=bvh)
+        contrib, p, n, mats, hit_mask = _local_radiance(
+            scene, o, d, cfg, hit, bvh=bvh)
+        lane_rad = weight * contrib * live[:, None]
+        acc = acc.at[parent].add(lane_rad)
+        if level == cfg.max_bounces:
+            break
 
-    # Reflection branch (mirror uses the stored surface normal, dielectric
-    # the effective one; identical for front-face hits).
-    n_refl = jnp.where(is_die, n_eff, n)
-    ro = p + n_refl * SHADOW_EPS
-    rd = sh.reflect_dir(d, n_refl)
-    rd_safe = jnp.where(hm, rd, jnp.asarray([0.0, 0.0, 1.0]))
+        hm = hit_mask[:, None]
+        d_dot_n = jnp.sum(d * n, axis=-1, keepdims=True)
+        entering = (d_dot_n < 0.0)
+        n_eff = jnp.where(entering, n, -n)
+        is_die = mats.is_dielectric[:, None]
+        is_mir = mats.is_mirror[:, None]
 
-    ior = mats.ior
-    n1 = jnp.where(entering[:, 0], 1.0, ior)
-    n2 = jnp.where(entering[:, 0], ior, 1.0)
-    cos_i = jnp.abs(d_dot_n[:, 0])
-    refr_d, tir = sh.refract_dir(d, n_eff, n1 / n2)
-    fres = jnp.where(tir, 1.0, sh.schlick_fresnel(cos_i, n1, n2))[:, None]
+        n_refl = jnp.where(is_die, n_eff, n)
+        ro = p + n_refl * SHADOW_EPS   # Reflect origin offset (:368-373)
+        rd = sh.reflect_dir(d, n_refl)
+        rd_safe = jnp.where(hm, rd, jnp.asarray([0.0, 0.0, 1.0]))
 
-    w_refl = (is_mir * mats.mirror
-              + is_die * fres * mats.transparency) * hm
-    child_r = _trace_tree(scene, ro, rd_safe, cfg, depth + 1)
-    radiance = radiance + w_refl * child_r
+        ior = mats.ior
+        n1 = jnp.where(entering[:, 0], 1.0, ior)
+        n2 = jnp.where(entering[:, 0], ior, 1.0)
+        cos_i = jnp.abs(d_dot_n[:, 0])
+        refr_d, tir = sh.refract_dir(d, n_eff, n1 / n2)
+        fres = jnp.where(tir, 1.0, sh.schlick_fresnel(cos_i, n1, n2))[:, None]
 
-    if scene_has_dielectrics_static(scene):
-        to = p - n_eff * SHADOW_EPS
-        refr_safe = jnp.where((hm & is_die & ~tir[:, None]),
-                              refr_d, jnp.asarray([0.0, 0.0, 1.0]))
-        w_refr = is_die * (1.0 - fres) * mats.transparency * hm \
-            * (~tir[:, None]).astype(jnp.float32)
-        child_t = _trace_tree(scene, to, refr_safe, cfg, depth + 1)
-        radiance = radiance + w_refr * child_t
-    return radiance
+        w_refl = (is_mir * mats.mirror
+                  + is_die * fres * mats.transparency) * hm
+        refl_live = live & hit_mask & (mats.is_mirror | mats.is_dielectric)
+
+        if branching:
+            to = p - n_eff * SHADOW_EPS
+            refr_ok = hm & is_die & ~tir[:, None]
+            refr_safe = jnp.where(refr_ok, refr_d,
+                                  jnp.asarray([0.0, 0.0, 1.0]))
+            w_refr = (is_die * (1.0 - fres) * mats.transparency
+                      * refr_ok.astype(jnp.float32))
+            refr_live = live & hit_mask & mats.is_dielectric & ~tir
+            o = jnp.concatenate([ro, to], axis=0)
+            d = jnp.concatenate([rd_safe, refr_safe], axis=0)
+            weight = jnp.concatenate([weight * w_refl, weight * w_refr],
+                                     axis=0)
+            parent = jnp.concatenate([parent, parent], axis=0)
+            live = jnp.concatenate([refl_live, refr_live], axis=0)
+        else:
+            o, d = ro, rd_safe
+            weight = weight * w_refl
+            live = refl_live
+    return acc
 
 
 _HAS_DIELECTRIC_HINT: dict = {}
@@ -174,24 +241,30 @@ def resolve_mode(scene: Scene, cfg: RenderConfig) -> RenderConfig:
 
 @partial(jax.jit, static_argnames=("cfg",))
 def trace_radiance(scene: Scene, o: jnp.ndarray, d: jnp.ndarray,
-                   cfg: RenderConfig) -> jnp.ndarray:
+                   cfg: RenderConfig, bvh=None) -> jnp.ndarray:
     """Radiance [N,3] (0-255 scale) for arbitrary ray batches."""
     mode = cfg.mode
     if mode == "auto":  # under jit this must have been resolved already
         mode = "tree"
     if mode == "scan":
-        return _trace_chain(scene, o, d, cfg)
-    return _trace_tree(scene, o, d, cfg, 0)
+        return _trace_chain(scene, o, d, cfg, bvh=bvh)
+    return _trace_tree(scene, o, d, cfg, 0, bvh=bvh)
 
 
-def render(scene: Scene, cam: Camera, cfg: RenderConfig) -> jnp.ndarray:
+def render(scene: Scene, cam: Camera, cfg: RenderConfig,
+           bvh=None) -> jnp.ndarray:
     """Render the full image [H,W,3] on the display (0-1) scale.
 
     Host-side wrapper: resolves 'auto' mode, generates primary rays, chunks
-    them if requested (bounding the [rays x prims] working set), and jit-runs
-    the trace.
+    them if requested (bounding the [rays x prims] working set), builds the
+    BVH if ``cfg.use_bvh`` and none was passed, and jit-runs the trace.
     """
     cfg = resolve_mode(scene, cfg)
+    if cfg.use_bvh and bvh is None:
+        from unity_raytracer_tpu.ops import bvh as bvhmod
+        import numpy as _np
+        bvh = bvhmod.build(_np.asarray(scene.meshes.verts),
+                           _np.asarray(scene.meshes.valid))
     o, d = generate_rays(cam)
     n = o.shape[0]
     if cfg.ray_chunk and cfg.ray_chunk < n:
@@ -204,9 +277,10 @@ def render(scene: Scene, cam: Camera, cfg: RenderConfig) -> jnp.ndarray:
                                  .at[:, 2].set(1.0)], axis=0)
         oc = o.reshape(-1, c, 3)
         dc = d.reshape(-1, c, 3)
-        rad = jax.lax.map(lambda od: trace_radiance(scene, od[0], od[1], cfg),
-                          (oc, dc)).reshape(-1, 3)[:n]
+        rad = jax.lax.map(
+            lambda od: trace_radiance(scene, od[0], od[1], cfg, bvh=bvh),
+            (oc, dc)).reshape(-1, 3)[:n]
     else:
-        rad = trace_radiance(scene, o, d, cfg)
+        rad = trace_radiance(scene, o, d, cfg, bvh=bvh)
     img = rad.reshape(cam.height, cam.width, 3) / 255.0
     return img

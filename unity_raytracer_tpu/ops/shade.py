@@ -70,20 +70,26 @@ def surface_attributes(scene: Scene, p: jnp.ndarray,
     return n, mats
 
 
-def shadow_min_t(scene: Scene, o: jnp.ndarray, d: jnp.ndarray) -> jnp.ndarray:
+def shadow_min_t(scene: Scene, o: jnp.ndarray, d: jnp.ndarray,
+                 bvh=None, t_max: jnp.ndarray | None = None) -> jnp.ndarray:
     """Minimum hit distance per ray (no identity), +inf on miss.
 
     The reference issues a *full* nearest-hit query per shadow ray
     (RayTracingSetup.cs:333) but only consumes the distance; the occlusion
     predicate ``min_t^2 < light_dist^2`` is equivalent under nearest- or
-    any-hit, so this cheaper min-reduction is exact.
+    any-hit, so this cheaper min-reduction is exact. With a BVH, ``t_max``
+    (the light distance) seeds the traversal cull so far subtrees prune.
     """
-    t_m = isect.ray_triangles(o, d, scene.meshes.verts, scene.meshes.valid)
+    if bvh is None:
+        t_m = isect.ray_triangles(o, d, scene.meshes.verts,
+                                  scene.meshes.valid).min(axis=1)
+    else:
+        from unity_raytracer_tpu.ops.bvh import traverse
+        t_m, _ = traverse(bvh, o, d, t_max=t_max)
     t_s = isect.ray_spheres(o, d, scene.spheres.centers,
                             scene.spheres.radius_sq, scene.spheres.valid)
     t_t = isect.ray_triangles(o, d, scene.triangles.verts, scene.triangles.valid)
-    t = jnp.minimum(jnp.minimum(t_m.min(axis=1), t_s.min(axis=1)),
-                    t_t.min(axis=1))
+    t = jnp.minimum(jnp.minimum(t_m, t_s.min(axis=1)), t_t.min(axis=1))
     in_box = isect.ray_aabb(o, d, scene.aabb_min[None, :], scene.aabb_max[None, :])
     return jnp.where(in_box, t, jnp.inf)
 
@@ -104,7 +110,7 @@ def _soft_or_hard_vis(hard: jnp.ndarray, margin: jnp.ndarray, temp: float,
 def direct_lighting(scene: Scene, p: jnp.ndarray, n: jnp.ndarray,
                     v: jnp.ndarray, mats: Materials,
                     soft_shadow_temp: float = 0.0,
-                    straight_through: bool = True) -> jnp.ndarray:
+                    straight_through: bool = True, bvh=None) -> jnp.ndarray:
     """Ambient + per-light shadowed diffuse + Blinn-Phong specular, [N,3].
 
     Mirrors the light loop (RayTracingSetup.cs:324-356):
@@ -128,7 +134,9 @@ def direct_lighting(scene: Scene, p: jnp.ndarray, n: jnp.ndarray,
     so = p + n * SHADOW_EPS                                        # [N,3]
     so_flat = jnp.broadcast_to(so[:, None, :], (N, L, 3)).reshape(-1, 3)
     sd_flat = ldir.reshape(-1, 3)
-    st = shadow_min_t(scene, so_flat, sd_flat).reshape(N, L)
+    ldist_flat = jnp.sqrt(ldist_sq).reshape(-1)
+    st = shadow_min_t(scene, so_flat, sd_flat, bvh=bvh,
+                      t_max=ldist_flat).reshape(N, L)
 
     occluded = (st * st) < ldist_sq                                # [N,L]
     vis = _soft_or_hard_vis(~occluded, (st * st) - ldist_sq,
@@ -168,7 +176,8 @@ def refract_dir(d: jnp.ndarray, n: jnp.ndarray,
     cos_i = -jnp.sum(d * n, axis=-1, keepdims=True)
     k = 1.0 - eta[:, None] ** 2 * (1.0 - cos_i ** 2)
     tir = (k < 0.0)[:, 0]
-    k_safe = jnp.maximum(k, 0.0)
+    # double-where keeps sqrt'(0)=inf from poisoning masked-lane gradients
+    k_safe = jnp.where(k < 0.0, 1.0, k)
     out = eta[:, None] * d + (eta[:, None] * cos_i - jnp.sqrt(k_safe)) * n
     return out, tir
 

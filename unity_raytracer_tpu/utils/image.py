@@ -42,11 +42,15 @@ def write_png(path, img: np.ndarray) -> None:
     ihdr = struct.pack(">IIBBBBB", w, h, 8, 2, 0, 0, 0)
     png = (b"\x89PNG\r\n\x1a\n" + chunk(b"IHDR", ihdr)
            + chunk(b"IDAT", zlib.compress(raw, 6)) + chunk(b"IEND", b""))
-    Path(path).write_bytes(png)
+    p = Path(path)
+    p.parent.mkdir(parents=True, exist_ok=True)
+    p.write_bytes(png)
 
 
 def write_npy(path, img: np.ndarray) -> None:
-    np.save(path, np.asarray(img, np.float32))
+    p = Path(path)
+    p.parent.mkdir(parents=True, exist_ok=True)
+    np.save(p, np.asarray(img, np.float32))
 
 
 def load_npy(path) -> np.ndarray:
