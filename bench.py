@@ -29,6 +29,18 @@ def count_rays(cfg, width, height, n_lights):
     return pixels * segments * (1 + n_lights)
 
 
+def _enable_compile_cache():
+    """Persistent XLA compilation cache: first round pays the (remote)
+    compile, later rounds reuse the serialized executable."""
+    import jax
+    try:
+        jax.config.update("jax_compilation_cache_dir", "/root/.jax_cache")
+        jax.config.update("jax_persistent_cache_min_entry_size_bytes", -1)
+        jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+    except Exception as e:
+        print(f"[bench] compile cache unavailable: {e}", file=sys.stderr)
+
+
 def run_once(name="mesh100k", width=None, height=None, repeats=3,
              use_bvh=True, max_bounces=None):
     import jax
@@ -105,6 +117,7 @@ def main():
     ap.add_argument("--all", action="store_true",
                     help="also time the other presets (to stderr)")
     args = ap.parse_args()
+    _enable_compile_cache()
 
     if args.all:
         for p in ["three_spheres", "cornell_box", "mesh10k"]:

@@ -110,22 +110,28 @@ def _trace_chain(scene: Scene, o: jnp.ndarray, d: jnp.ndarray,
     (``IsMirror && bounce < MaxReflectionBounces``, RayTracingSetup.cs:358).
     """
     n_rays = o.shape[0]
-    acc = jnp.zeros((n_rays, 3), jnp.float32)
-    thr = jnp.ones((n_rays, 3), jnp.float32)
-    active = jnp.ones((n_rays,), bool)
+    acc0 = jnp.zeros((n_rays, 3), jnp.float32)
+    thr0 = jnp.ones((n_rays, 3), jnp.float32)
+    active0 = jnp.ones((n_rays,), bool)
 
-    for depth in range(cfg.max_bounces + 1):
+    def bounce(carry, depth):
+        o, d, thr, active, acc = carry
         hit = nearest_hit(scene, o, d, bvh=bvh)
-        contrib, p, n, mats, hit_mask = _local_radiance(scene, o, d, cfg, hit,
-                                                        bvh=bvh)
+        contrib, p, n, mats, hit_mask = _local_radiance(
+            scene, o, d, cfg, hit, bvh=bvh)
         acc = acc + thr * contrib * active[:, None]
-        if depth == cfg.max_bounces:
-            break
-        cont = active & hit_mask & mats.is_mirror
+        cont = active & hit_mask & mats.is_mirror & (depth < cfg.max_bounces)
         thr = jnp.where(cont[:, None], thr * mats.mirror, thr)
         o = p + n * SHADOW_EPS        # Reflect origin offset (:368-373)
         d = jnp.where(cont[:, None], sh.reflect_dir(d, n), d)
-        active = cont
+        return (o, d, thr, cont, acc), None
+
+    # lax.scan: the bounce body compiles ONCE regardless of depth — keeps
+    # XLA program size (and remote-compile time) flat vs depth, unlike a
+    # Python unroll which inlines the intersect+shade stage per segment.
+    (_, _, _, _, acc), _ = jax.lax.scan(
+        bounce, (o, d, thr0, active0, acc0),
+        jnp.arange(cfg.max_bounces + 1), unroll=1)
     return acc
 
 
