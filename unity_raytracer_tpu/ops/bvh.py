@@ -444,3 +444,20 @@ def traverse(bvh: MeshBVH, o: jnp.ndarray, d: jnp.ndarray,
     t_out = jnp.where(hit, jnp.where(jnp.isfinite(t_diff), t_diff, best_t),
                       jnp.inf)
     return t_out, orig.astype(jnp.int32)
+
+
+def traverse_any(bvh: MeshBVH, o: jnp.ndarray, d: jnp.ndarray,
+                 t_max: jnp.ndarray | None = None,
+                 kernel: str = "auto") -> Tuple[jnp.ndarray, jnp.ndarray]:
+    """Backend-dispatching traversal.
+
+    kernel: 'xla' (per-lane lockstep while_loop, works everywhere),
+    'pallas' (packet megakernel, ops/pallas/traverse_mk.py — TPU),
+    'auto' (pallas on TPU backends, xla on CPU).
+    """
+    if kernel == "auto":
+        kernel = "xla" if jax.default_backend() == "cpu" else "pallas"
+    if kernel == "pallas":
+        from unity_raytracer_tpu.ops.pallas.traverse_mk import traverse_packet
+        return traverse_packet(bvh, o, d, t_max=t_max)
+    return traverse(bvh, o, d, t_max=t_max)

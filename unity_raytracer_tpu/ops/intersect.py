@@ -192,7 +192,8 @@ def _best(t: jnp.ndarray) -> Tuple[jnp.ndarray, jnp.ndarray]:
     return tmin, idx
 
 
-def nearest_hit(scene, o: jnp.ndarray, d: jnp.ndarray, bvh=None) -> Hit:
+def nearest_hit(scene, o: jnp.ndarray, d: jnp.ndarray, bvh=None,
+                kernel: str = "auto") -> Hit:
     """Nearest hit over all three categories (brute force or BVH).
 
     Combine order and strict ``>`` tie-breaking replicate
@@ -212,8 +213,8 @@ def nearest_hit(scene, o: jnp.ndarray, d: jnp.ndarray, bvh=None) -> Hit:
         t_mesh, i_mesh = _best(ray_triangles(o, d, scene.meshes.verts,
                                              scene.meshes.valid))
     else:
-        from unity_raytracer_tpu.ops.bvh import traverse
-        t_mesh, i_mesh = traverse(bvh, o, d)
+        from unity_raytracer_tpu.ops.bvh import traverse_any
+        t_mesh, i_mesh = traverse_any(bvh, o, d, kernel=kernel)
         i_mesh = jnp.clip(i_mesh, 0, None)  # downstream masks on kind
     t_sph, i_sph = _best(ray_spheres(o, d, scene.spheres.centers,
                                      scene.spheres.radius_sq,

@@ -93,7 +93,8 @@ def _local_radiance(scene: Scene, o, d, cfg: RenderConfig,
     local = sh.direct_lighting(
         scene, p, n, v, mats,
         soft_shadow_temp=cfg.diff.soft_shadow_temp,
-        straight_through=cfg.diff.straight_through, bvh=bvh)
+        straight_through=cfg.diff.straight_through, bvh=bvh,
+        kernel=cfg.kernel)
     bg = jnp.asarray(cfg.background, jnp.float32) * 255.0
     local_safe = jnp.where(shade_mask[:, None], local, bg[None, :])
     contrib = bg[None, :] + w[:, None] * (local_safe - bg[None, :])
@@ -116,7 +117,7 @@ def _trace_chain(scene: Scene, o: jnp.ndarray, d: jnp.ndarray,
 
     def bounce(carry, depth):
         o, d, thr, active, acc = carry
-        hit = nearest_hit(scene, o, d, bvh=bvh)
+        hit = nearest_hit(scene, o, d, bvh=bvh, kernel=cfg.kernel)
         contrib, p, n, mats, hit_mask = _local_radiance(
             scene, o, d, cfg, hit, bvh=bvh)
         acc = acc + thr * contrib * active[:, None]
@@ -164,7 +165,7 @@ def _trace_tree(scene: Scene, o: jnp.ndarray, d: jnp.ndarray,
     live = jnp.ones((n_rays,), bool)
 
     for level in range(cfg.max_bounces + 1):
-        hit = nearest_hit(scene, o, d, bvh=bvh)
+        hit = nearest_hit(scene, o, d, bvh=bvh, kernel=cfg.kernel)
         contrib, p, n, mats, hit_mask = _local_radiance(
             scene, o, d, cfg, hit, bvh=bvh)
         lane_rad = weight * contrib * live[:, None]

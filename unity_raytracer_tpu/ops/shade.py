@@ -71,7 +71,8 @@ def surface_attributes(scene: Scene, p: jnp.ndarray,
 
 
 def shadow_min_t(scene: Scene, o: jnp.ndarray, d: jnp.ndarray,
-                 bvh=None, t_max: jnp.ndarray | None = None) -> jnp.ndarray:
+                 bvh=None, t_max: jnp.ndarray | None = None,
+                 kernel: str = "auto") -> jnp.ndarray:
     """Minimum hit distance per ray (no identity), +inf on miss.
 
     The reference issues a *full* nearest-hit query per shadow ray
@@ -84,8 +85,8 @@ def shadow_min_t(scene: Scene, o: jnp.ndarray, d: jnp.ndarray,
         t_m = isect.ray_triangles(o, d, scene.meshes.verts,
                                   scene.meshes.valid).min(axis=1)
     else:
-        from unity_raytracer_tpu.ops.bvh import traverse
-        t_m, _ = traverse(bvh, o, d, t_max=t_max)
+        from unity_raytracer_tpu.ops.bvh import traverse_any
+        t_m, _ = traverse_any(bvh, o, d, t_max=t_max, kernel=kernel)
     t_s = isect.ray_spheres(o, d, scene.spheres.centers,
                             scene.spheres.radius_sq, scene.spheres.valid)
     t_t = isect.ray_triangles(o, d, scene.triangles.verts, scene.triangles.valid)
@@ -110,7 +111,8 @@ def _soft_or_hard_vis(hard: jnp.ndarray, margin: jnp.ndarray, temp: float,
 def direct_lighting(scene: Scene, p: jnp.ndarray, n: jnp.ndarray,
                     v: jnp.ndarray, mats: Materials,
                     soft_shadow_temp: float = 0.0,
-                    straight_through: bool = True, bvh=None) -> jnp.ndarray:
+                    straight_through: bool = True, bvh=None,
+                    kernel: str = "auto") -> jnp.ndarray:
     """Ambient + per-light shadowed diffuse + Blinn-Phong specular, [N,3].
 
     Mirrors the light loop (RayTracingSetup.cs:324-356):
@@ -136,7 +138,7 @@ def direct_lighting(scene: Scene, p: jnp.ndarray, n: jnp.ndarray,
     sd_flat = ldir.reshape(-1, 3)
     ldist_flat = jnp.sqrt(ldist_sq).reshape(-1)
     st = shadow_min_t(scene, so_flat, sd_flat, bvh=bvh,
-                      t_max=ldist_flat).reshape(N, L)
+                      t_max=ldist_flat, kernel=kernel).reshape(N, L)
 
     occluded = (st * st) < ldist_sq                                # [N,L]
     vis = _soft_or_hard_vis(~occluded, (st * st) - ldist_sq,

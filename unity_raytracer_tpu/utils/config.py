@@ -43,6 +43,7 @@ class RenderConfig:
     mode: str = "auto"          # 'scan' | 'tree' | 'auto'
     ray_chunk: Optional[int] = None  # rays per chunk (None = all at once)
     use_bvh: bool = False
+    kernel: str = "auto"             # 'auto' | 'xla' | 'pallas' traversal
     diff: DiffConfig = field(default_factory=DiffConfig)
 
     def with_(self, **kw) -> "RenderConfig":
