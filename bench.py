@@ -63,8 +63,7 @@ def run_once(name="mesh100k", width=None, height=None, repeats=3,
     bvh = None
     if use_bvh and int(np.asarray(scene.meshes.valid).sum()) > 0:
         t0 = time.perf_counter()
-        bvh = bvhmod.build(np.asarray(scene.meshes.verts),
-                           np.asarray(scene.meshes.valid))
+        bvh = bvhmod.prepare_bvh(scene, cfg)
         build_s = time.perf_counter() - t0
     else:
         build_s = 0.0

@@ -6,14 +6,19 @@ Usage: python scripts/tpu_run.py <script.py> [args...]
 """
 import subprocess, sys, time
 
-def wait_backend(max_tries=120, sleep_s=20):
+def wait_backend(max_tries=20, sleep_s=120):
+    """Long quiet sleeps: rapid claim attempts appear to reset the chip's
+    cooldown after a fault — poll gently."""
     for i in range(max_tries):
-        r = subprocess.run(
-            [sys.executable, "-c", "import jax; jax.devices()"],
-            capture_output=True, timeout=180)
-        if r.returncode == 0:
-            print(f"[tpu_run] backend up (try {i})", flush=True)
-            return True
+        try:
+            r = subprocess.run(
+                [sys.executable, "-c", "import jax; jax.devices()"],
+                capture_output=True, timeout=180)
+            if r.returncode == 0:
+                print(f"[tpu_run] backend up (try {i})", flush=True)
+                return True
+        except subprocess.TimeoutExpired:
+            pass
         time.sleep(sleep_s)
     return False
 

@@ -130,6 +130,8 @@ class MeshBVH:
     miss_next: jnp.ndarray   # [Nn] skip pointer, -1 terminates
     tri_verts: jnp.ndarray   # [M,3,3] leaf-ordered triangles
     prim_index: jnp.ndarray  # [M] leaf-order -> original MeshSet row
+    leaf_size: int = dataclasses.field(
+        metadata=dict(static=True), default=LEAF_SIZE)
 
     @property
     def n_nodes(self) -> int:
@@ -162,7 +164,8 @@ def build(verts: np.ndarray, valid: np.ndarray | None = None,
             count=jnp.asarray([0], jnp.int32),
             miss_next=jnp.asarray([-1], jnp.int32),
             tri_verts=jnp.zeros((1, 3, 3), jnp.float32),
-            prim_index=jnp.zeros((1,), jnp.int32))
+            prim_index=jnp.zeros((1,), jnp.int32),
+            leaf_size=leaf_size)
 
     if backend in ("auto", "native"):
         res = _build_native(tris, leaf_size, use_sah)
@@ -175,7 +178,8 @@ def build(verts: np.ndarray, valid: np.ndarray | None = None,
                 count=jnp.asarray(count_a),
                 miss_next=jnp.asarray(miss_a),
                 tri_verts=jnp.asarray(tris[order_a]),
-                prim_index=jnp.asarray(orig_idx[order_a]))
+                prim_index=jnp.asarray(orig_idx[order_a]),
+                leaf_size=leaf_size)
         if backend == "native":
             raise RuntimeError("native BVH builder unavailable "
                                "(g++/make failed?)")
@@ -327,7 +331,8 @@ def build(verts: np.ndarray, valid: np.ndarray | None = None,
         count=jnp.asarray(n_count_arr),
         miss_next=jnp.asarray(miss_arr),
         tri_verts=jnp.asarray(tri_leaf_order),
-        prim_index=jnp.asarray(prim_index))
+        prim_index=jnp.asarray(prim_index),
+        leaf_size=leaf_size)
 
 
 # ---------------------------------------------------------------------------
@@ -410,7 +415,7 @@ def traverse(bvh: MeshBVH, o: jnp.ndarray, d: jnp.ndarray,
         is_leaf = count > 0
 
         # static unrolled leaf loop (builder caps leaf size)
-        for k in range(LEAF_SIZE):
+        for k in range(bvh.leaf_size):
             pi = jnp.clip(first + k, 0, bvh.tri_verts.shape[0] - 1)
             tri = jnp.take(bvh.tri_verts, pi, axis=0)     # [N,3,3]
             t = _mt_one(o, d, tri[:, 0], tri[:, 1], tri[:, 2])
@@ -446,6 +451,25 @@ def traverse(bvh: MeshBVH, o: jnp.ndarray, d: jnp.ndarray,
     return t_out, orig.astype(jnp.int32)
 
 
+def prepare_bvh(scene, cfg):
+    """Build the right BVH artifact for the configured kernel.
+
+    'pallas' kernels get a PackedBVH (leaf_size=PALLAS_LEAF row layout);
+    'xla' gets a plain MeshBVH. Call host-side on a concrete scene.
+    """
+    kernel = cfg.kernel
+    if kernel == "auto":
+        kernel = "xla" if jax.default_backend() == "cpu" else "pallas"
+    if kernel.startswith("pallas"):
+        from unity_raytracer_tpu.ops.pallas.traverse_mk3 import (
+            PALLAS_LEAF, pack_rows)
+        b = build(np.asarray(scene.meshes.verts),
+                  np.asarray(scene.meshes.valid), leaf_size=PALLAS_LEAF)
+        return pack_rows(b)
+    return build(np.asarray(scene.meshes.verts),
+                 np.asarray(scene.meshes.valid))
+
+
 def traverse_any(bvh: MeshBVH, o: jnp.ndarray, d: jnp.ndarray,
                  t_max: jnp.ndarray | None = None,
                  kernel: str = "auto") -> Tuple[jnp.ndarray, jnp.ndarray]:
@@ -455,9 +479,17 @@ def traverse_any(bvh: MeshBVH, o: jnp.ndarray, d: jnp.ndarray,
     'pallas' (packet megakernel, ops/pallas/traverse_mk.py — TPU),
     'auto' (pallas on TPU backends, xla on CPU).
     """
+    from unity_raytracer_tpu.ops.pallas.traverse_mk3 import (
+        PackedBVH, traverse_packet3)
     if kernel == "auto":
         kernel = "xla" if jax.default_backend() == "cpu" else "pallas"
+    if isinstance(bvh, PackedBVH):
+        if kernel == "xla":
+            return traverse(bvh.bvh, o, d, t_max=t_max)
+        return traverse_packet3(bvh, o, d, t_max=t_max)
     if kernel == "pallas":
+        # pre-packed row layout (traverse_mk3) is preferred on TPU; a bare
+        # MeshBVH falls back to the small-scene packet kernel
         from unity_raytracer_tpu.ops.pallas.traverse_mk import traverse_packet
         return traverse_packet(bvh, o, d, t_max=t_max)
     return traverse(bvh, o, d, t_max=t_max)

@@ -1,0 +1,256 @@
+"""Packet traversal v3: packed-row layout — 100k tris in VMEM, using only
+the access pattern Mosaic compiles (dynamic sublane row read, static lanes).
+
+Empirics from the axon TPU backend:
+* dynamic scalar loads with a *dynamic sublane, static lane* index compile
+  and run (traverse_mk) — but one VMEM row per 3-10 useful floats pads the
+  lane dim to 128 and costs ``rows x 512B``: 33-52 MB at 100k tris;
+* dynamic *lane* indexing (traverse_mk2) crashes the remote compile helper.
+
+v3 packs data so each dynamic row read yields a full useful record:
+* ``nodes [Nn, 16] f32`` — lanes 0-5 box min/max, lanes 6-8 bitcast int32
+  (leaf row / count, interior -1 / miss_next). One row per node:
+  14.6k nodes (leaf_size 14) = 7.5 MB.
+* ``tris [n_leaves, 128] f32`` — one row per LEAF, up to 14 triangles at
+  lanes [9k, 9k+9). 7.3k leaves = 3.7 MB.
+
+A leaf visit is one dynamic row read + 14 static-lane unrolled tests over
+the ray tile. Build the BVH with ``leaf_size=PALLAS_LEAF`` for this path.
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import NamedTuple, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+from unity_raytracer_tpu.ops.bvh import MeshBVH
+
+EPS = 1e-5
+_BIG = 3.0e38
+
+TILE_R = 1024
+PALLAS_LEAF = 14  # 14 tris x 9 floats = 126 lanes <= 128
+
+
+class PackedBVH(NamedTuple):
+    nodes: jnp.ndarray      # [Nn, 16] f32 (6 box + 3 bitcast i32 + pad)
+    tris: jnp.ndarray       # [n_leaves, 128] f32
+    leaf_prim: jnp.ndarray  # [n_leaves, 14] i32 leaf slot -> leaf-order row
+    bvh: MeshBVH            # original (for prim_index / tri_verts)
+
+
+def pack_rows(bvh: MeshBVH) -> PackedBVH:
+    """Host-side repack (numpy). Requires every leaf count <= PALLAS_LEAF."""
+    first = np.asarray(bvh.first)
+    count = np.asarray(bvh.count)
+    miss = np.asarray(bvh.miss_next)
+    nmin = np.asarray(bvh.node_min)
+    nmax = np.asarray(bvh.node_max)
+    tv = np.asarray(bvh.tri_verts).reshape(-1, 9)
+    nn = first.shape[0]
+    if count.max(initial=0) > PALLAS_LEAF:
+        raise ValueError(
+            f"leaf size {count.max()} > {PALLAS_LEAF}; build the BVH with "
+            f"leaf_size={PALLAS_LEAF} for the pallas path")
+
+    is_leaf = count > 0
+    leaf_ids = np.cumsum(is_leaf) - 1          # node -> leaf row
+    n_leaves = int(is_leaf.sum())
+
+    tris = np.zeros((max(n_leaves, 1), 128), np.float32)
+    leaf_prim = np.full((max(n_leaves, 1), PALLAS_LEAF), -1, np.int32)
+    leaf_nodes = np.nonzero(is_leaf)[0]
+    for r, node in enumerate(leaf_nodes):
+        f0, c = first[node], count[node]
+        for k in range(c):
+            tris[r, 9 * k: 9 * k + 9] = tv[f0 + k]
+            leaf_prim[r, k] = f0 + k
+
+    # meta stored as float VALUES (exact integers below 2^24 — node/leaf
+    # counts are far below); Mosaic has no scalar bitcast, and float
+    # compare/convert of small ints is exact
+    nodes = np.zeros((nn, 16), np.float32)
+    nodes[:, 0:3] = nmin
+    nodes[:, 3:6] = nmax
+    nodes[:, 6] = np.where(is_leaf, leaf_ids, -1).astype(np.float32)
+    nodes[:, 7] = count.astype(np.float32)
+    nodes[:, 8] = miss.astype(np.float32)
+
+    return PackedBVH(nodes=jnp.asarray(nodes), tris=jnp.asarray(tris),
+                     leaf_prim=jnp.asarray(leaf_prim), bvh=bvh)
+
+
+def _kernel(ox_ref, oy_ref, oz_ref, dx_ref, dy_ref, dz_ref, tmax_ref,
+            nodes_ref, tris_ref, t_out_ref, slot_out_ref, leaf_out_ref):
+    ox, oy, oz = ox_ref[:], oy_ref[:], oz_ref[:]
+    dx, dy, dz = dx_ref[:], dy_ref[:], dz_ref[:]
+
+    tiny = 1e-30
+    fix = lambda v: jnp.where(jnp.abs(v) < tiny,
+                              jnp.where(v < 0, -tiny, tiny), v)
+    inv_dx = 1.0 / fix(dx)
+    inv_dy = 1.0 / fix(dy)
+    inv_dz = 1.0 / fix(dz)
+
+    def cond(c):
+        return c[0] >= 0
+
+    def body(c):
+        cursor, best_t, best_slot, best_leaf = c
+        # per-scalar loads: dynamic sublane + static lane is the one access
+        # pattern the Mosaic backend compiles fast (measured)
+        lx = nodes_ref[cursor, 0]
+        ly = nodes_ref[cursor, 1]
+        lz = nodes_ref[cursor, 2]
+        hx = nodes_ref[cursor, 3]
+        hy = nodes_ref[cursor, 4]
+        hz = nodes_ref[cursor, 5]
+        leaf_row = nodes_ref[cursor, 6].astype(jnp.int32)
+        count = nodes_ref[cursor, 7].astype(jnp.int32)
+        miss = nodes_ref[cursor, 8].astype(jnp.int32)
+
+        t1 = (lx - ox) * inv_dx
+        t2 = (hx - ox) * inv_dx
+        tn = jnp.minimum(t1, t2)
+        tf = jnp.maximum(t1, t2)
+        t1 = (ly - oy) * inv_dy
+        t2 = (hy - oy) * inv_dy
+        tn = jnp.maximum(tn, jnp.minimum(t1, t2))
+        tf = jnp.minimum(tf, jnp.maximum(t1, t2))
+        t1 = (lz - oz) * inv_dz
+        t2 = (hz - oz) * inv_dz
+        tn = jnp.maximum(tn, jnp.minimum(t1, t2))
+        tf = jnp.minimum(tf, jnp.maximum(t1, t2))
+        tn = jnp.maximum(tn, 0.0)
+        lane_hit = (tn <= tf) & (tn <= best_t)
+        any_hit = jnp.any(lane_hit)
+
+        is_leaf = count > 0
+
+        def leaf_tests(args):
+            best_t, best_slot, best_leaf = args
+            for k in range(PALLAS_LEAF):
+                b = 9 * k
+                ok = k < count
+                v0x = tris_ref[leaf_row, b]
+                v0y = tris_ref[leaf_row, b + 1]
+                v0z = tris_ref[leaf_row, b + 2]
+                e1x = tris_ref[leaf_row, b + 3] - v0x
+                e1y = tris_ref[leaf_row, b + 4] - v0y
+                e1z = tris_ref[leaf_row, b + 5] - v0z
+                e2x = tris_ref[leaf_row, b + 6] - v0x
+                e2y = tris_ref[leaf_row, b + 7] - v0y
+                e2z = tris_ref[leaf_row, b + 8] - v0z
+                px = dy * e2z - dz * e2y
+                py = dz * e2x - dx * e2z
+                pz = dx * e2y - dy * e2x
+                det = e1x * px + e1y * py + e1z * pz
+                par = jnp.abs(det) < EPS
+                f = 1.0 / jnp.where(par, 1.0, det)
+                sx = ox - v0x
+                sy = oy - v0y
+                sz = oz - v0z
+                u = f * (sx * px + sy * py + sz * pz)
+                qx = sy * e1z - sz * e1y
+                qy = sz * e1x - sx * e1z
+                qz = sx * e1y - sy * e1x
+                v = f * (dx * qx + dy * qy + dz * qz)
+                t = f * (e2x * qx + e2y * qy + e2z * qz)
+                good = (~par & (u >= 0.0) & (u <= 1.0) & (v >= 0.0)
+                        & (u + v <= 1.0) & (t > EPS) & ok)
+                upd = good & (t < best_t)
+                best_t = jnp.where(upd, t, best_t)
+                best_slot = jnp.where(upd, k, best_slot)
+                best_leaf = jnp.where(upd, leaf_row, best_leaf)
+            return best_t, best_slot, best_leaf
+
+        best_t, best_slot, best_leaf = jax.lax.cond(
+            is_leaf & any_hit, leaf_tests, lambda a: a,
+            (best_t, best_slot, best_leaf))
+
+        descend = any_hit & ~is_leaf
+        cursor = jnp.where(descend, cursor + 1, miss)
+        return cursor, best_t, best_slot, best_leaf
+
+    best_t0 = tmax_ref[:]
+    slot0 = jnp.full((TILE_R,), -1, jnp.int32)
+    leaf0 = jnp.full((TILE_R,), -1, jnp.int32)
+    _, best_t, best_slot, best_leaf = jax.lax.while_loop(
+        cond, body, (jnp.int32(0), best_t0, slot0, leaf0))
+
+    t_out_ref[:] = best_t
+    slot_out_ref[:] = best_slot
+    leaf_out_ref[:] = best_leaf
+
+
+def traverse_packet3(packed: PackedBVH, o: jnp.ndarray, d: jnp.ndarray,
+                     t_max: jnp.ndarray | None = None,
+                     interpret: bool = False
+                     ) -> Tuple[jnp.ndarray, jnp.ndarray]:
+    """Nearest mesh hit via the packed-row kernel.
+
+    Returns ``(t [N], original MeshSet row [N])``, +inf / -1 on miss; t is
+    re-derived differentiably outside the kernel.
+    """
+    bvh = packed.bvh
+    n = o.shape[0]
+    n_pad = (-n) % TILE_R
+    if n_pad:
+        o = jnp.concatenate([o, jnp.zeros((n_pad, 3), o.dtype)], 0)
+        d = jnp.concatenate(
+            [d, jnp.tile(jnp.asarray([[0.0, 0.0, 1.0]], d.dtype),
+                         (n_pad, 1))], 0)
+    total = o.shape[0]
+    if t_max is None:
+        tmax = jnp.full((total,), _BIG, jnp.float32)
+    else:
+        tm = jnp.minimum(jnp.asarray(t_max, jnp.float32), _BIG)
+        tmax = (jnp.concatenate([tm, jnp.zeros((n_pad,), jnp.float32)], 0)
+                if n_pad else tm)
+
+    grid = (total // TILE_R,)
+    rep = lambda *shape: pl.BlockSpec(
+        shape, (lambda i: tuple(0 for _ in shape)),
+        memory_space=pltpu.VMEM)
+    tile = pl.BlockSpec((TILE_R,), lambda i: (i,), memory_space=pltpu.VMEM)
+
+    t_out, slot_out, leaf_out = pl.pallas_call(
+        _kernel,
+        grid=grid,
+        in_specs=[tile, tile, tile, tile, tile, tile, tile,
+                  rep(*packed.nodes.shape), rep(*packed.tris.shape)],
+        out_specs=(tile, tile, tile),
+        out_shape=(
+            jax.ShapeDtypeStruct((total,), jnp.float32),
+            jax.ShapeDtypeStruct((total,), jnp.int32),
+            jax.ShapeDtypeStruct((total,), jnp.int32),
+        ),
+        interpret=interpret,
+    )(o[:, 0], o[:, 1], o[:, 2], d[:, 0], d[:, 1], d[:, 2], tmax,
+      packed.nodes, packed.tris)
+
+    t_out = jax.lax.stop_gradient(t_out[:n])
+    slot_out = slot_out[:n]
+    leaf_out = leaf_out[:n]
+    hit = slot_out >= 0
+    # leaf slot -> leaf-order row -> original MeshSet row
+    row = jnp.where(
+        hit,
+        packed.leaf_prim[jnp.clip(leaf_out, 0, None),
+                         jnp.clip(slot_out, 0, None)],
+        -1)
+    orig = jnp.where(hit, jnp.take(bvh.prim_index,
+                                   jnp.clip(row, 0, None)), -1)
+    from unity_raytracer_tpu.ops.bvh import _mt_one
+    tri = jnp.take(bvh.tri_verts, jnp.clip(row, 0, None), axis=0)
+    t_diff = _mt_one(o[:n], d[:n], tri[:, 0], tri[:, 1], tri[:, 2])
+    t_final = jnp.where(hit,
+                        jnp.where(jnp.isfinite(t_diff), t_diff, t_out),
+                        jnp.inf)
+    return t_final, orig.astype(jnp.int32)

@@ -269,9 +269,7 @@ def render(scene: Scene, cam: Camera, cfg: RenderConfig,
     cfg = resolve_mode(scene, cfg)
     if cfg.use_bvh and bvh is None:
         from unity_raytracer_tpu.ops import bvh as bvhmod
-        import numpy as _np
-        bvh = bvhmod.build(_np.asarray(scene.meshes.verts),
-                           _np.asarray(scene.meshes.valid))
+        bvh = bvhmod.prepare_bvh(scene, cfg)
     o, d = generate_rays(cam)
     n = o.shape[0]
     if cfg.ray_chunk and cfg.ray_chunk < n:
