@@ -383,13 +383,17 @@ def _mt_one(o, d, v0, v1, v2):
 
 
 def traverse(bvh: MeshBVH, o: jnp.ndarray, d: jnp.ndarray,
-             t_max: jnp.ndarray | None = None
+             t_max: jnp.ndarray | None = None,
+             any_hit: bool = False
              ) -> Tuple[jnp.ndarray, jnp.ndarray]:
     """Nearest mesh-triangle hit via threaded-BVH traversal.
 
     Returns ``(t [N], original_prim_index [N])`` with +inf / -1 on miss.
     ``t_max`` optionally seeds the cull distance (shadow queries pass the
-    light distance so far subtrees prune immediately).
+    light distance so far subtrees prune immediately); a negative ``t_max``
+    culls the lane entirely. ``any_hit`` finishes a lane at its first
+    occluder closer than ``t_max`` (occlusion queries only — the returned t
+    is a valid occluder distance, not the minimum).
     """
     n = o.shape[0]
     d_inv = _safe_inv(d)
@@ -420,16 +424,20 @@ def traverse(bvh: MeshBVH, o: jnp.ndarray, d: jnp.ndarray,
             tri = jnp.take(bvh.tri_verts, pi, axis=0)     # [N,3,3]
             t = _mt_one(o, d, tri[:, 0], tri[:, 1], tri[:, 2])
             upd = box_hit & is_leaf & (k < count) & (t < best_t)
-            best_t = jnp.where(upd, t, best_t)
+            best_t = jnp.where(upd, -1.0 if any_hit else t, best_t)
             best_i = jnp.where(upd, pi.astype(jnp.int32), best_i)
 
         descend = box_hit & ~is_leaf
         cursor = jnp.where(active,
                            jnp.where(descend, cursor + 1, miss_next),
                            cursor)
+        if any_hit:  # occluded lanes retire immediately
+            cursor = jnp.where(best_t < 0.0, -1, cursor)
         return cursor, best_t, best_i
 
-    cursor0 = jnp.zeros((n,), jnp.int32)
+    # lanes culled on input (t_max < 0) never enter the tree
+    cursor0 = jnp.where(best_t0 < 0.0, -1, 0).astype(jnp.int32) \
+        if t_max is not None else jnp.zeros((n,), jnp.int32)
     best_i0 = jnp.full((n,), -1, jnp.int32)
     _, best_t, best_i = jax.lax.while_loop(
         cond, body, (cursor0, jax.lax.stop_gradient(best_t0), best_i0))
@@ -472,12 +480,15 @@ def prepare_bvh(scene, cfg):
 
 def traverse_any(bvh: MeshBVH, o: jnp.ndarray, d: jnp.ndarray,
                  t_max: jnp.ndarray | None = None,
-                 kernel: str = "auto") -> Tuple[jnp.ndarray, jnp.ndarray]:
+                 kernel: str = "auto",
+                 any_hit: bool = False) -> Tuple[jnp.ndarray, jnp.ndarray]:
     """Backend-dispatching traversal.
 
     kernel: 'xla' (per-lane lockstep while_loop, works everywhere),
     'pallas' (packet megakernel, ops/pallas/traverse_mk.py — TPU),
     'auto' (pallas on TPU backends, xla on CPU).
+    ``any_hit`` (occlusion queries): lanes finish at the first occluder
+    closer than ``t_max``; a negative ``t_max`` culls a lane outright.
     """
     from unity_raytracer_tpu.ops.pallas.traverse_mk3 import (
         PackedBVH, traverse_packet3)
@@ -485,11 +496,16 @@ def traverse_any(bvh: MeshBVH, o: jnp.ndarray, d: jnp.ndarray,
         kernel = "xla" if jax.default_backend() == "cpu" else "pallas"
     if isinstance(bvh, PackedBVH):
         if kernel == "xla":
-            return traverse(bvh.bvh, o, d, t_max=t_max)
-        return traverse_packet3(bvh, o, d, t_max=t_max)
+            return traverse(bvh.bvh, o, d, t_max=t_max, any_hit=any_hit)
+        if kernel == "pallas3":
+            return traverse_packet3(bvh, o, d, t_max=t_max, any_hit=any_hit)
+        # default pallas: ordered near-first traversal (traverse_mk4)
+        from unity_raytracer_tpu.ops.pallas.traverse_mk4 import (
+            traverse_packet4)
+        return traverse_packet4(bvh, o, d, t_max=t_max, any_hit=any_hit)
     if kernel == "pallas":
         # pre-packed row layout (traverse_mk3) is preferred on TPU; a bare
         # MeshBVH falls back to the small-scene packet kernel
         from unity_raytracer_tpu.ops.pallas.traverse_mk import traverse_packet
         return traverse_packet(bvh, o, d, t_max=t_max)
-    return traverse(bvh, o, d, t_max=t_max)
+    return traverse(bvh, o, d, t_max=t_max, any_hit=any_hit)

@@ -193,7 +193,8 @@ def _best(t: jnp.ndarray) -> Tuple[jnp.ndarray, jnp.ndarray]:
 
 
 def nearest_hit(scene, o: jnp.ndarray, d: jnp.ndarray, bvh=None,
-                kernel: str = "auto") -> Hit:
+                kernel: str = "auto",
+                t_max: jnp.ndarray | None = None) -> Hit:
     """Nearest hit over all three categories (brute force or BVH).
 
     Combine order and strict ``>`` tie-breaking replicate
@@ -214,7 +215,11 @@ def nearest_hit(scene, o: jnp.ndarray, d: jnp.ndarray, bvh=None,
                                              scene.meshes.valid))
     else:
         from unity_raytracer_tpu.ops.bvh import traverse_any
-        t_mesh, i_mesh = traverse_any(bvh, o, d, kernel=kernel)
+        # t_max < 0 culls dead lanes from the packet union (bounce chains
+        # pass -1 for retired rays); it does not change live-lane results
+        t_mesh, i_mesh = traverse_any(bvh, o, d, kernel=kernel,
+                                      t_max=jax.lax.stop_gradient(t_max)
+                                      if t_max is not None else None)
         i_mesh = jnp.clip(i_mesh, 0, None)  # downstream masks on kind
     t_sph, i_sph = _best(ray_spheres(o, d, scene.spheres.centers,
                                      scene.spheres.radius_sq,

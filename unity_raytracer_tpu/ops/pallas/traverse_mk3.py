@@ -81,13 +81,23 @@ def pack_rows(bvh: MeshBVH) -> PackedBVH:
     nodes[:, 6] = np.where(is_leaf, leaf_ids, -1).astype(np.float32)
     nodes[:, 7] = count.astype(np.float32)
     nodes[:, 8] = miss.astype(np.float32)
+    # lane 9: right-child index for interior nodes (-1 for leaves). DFS
+    # pre-order ⇒ left child = i+1 and left's miss link IS the right
+    # sibling, so no builder change is needed. Consumed by the ordered
+    # (near-child-first) traversal in traverse_mk4.
+    right = np.full(nn, -1, np.int64)
+    interior = ~is_leaf
+    if nn > 1:
+        right[interior] = miss[np.nonzero(interior)[0] + 1]
+    nodes[:, 9] = right.astype(np.float32)
 
     return PackedBVH(nodes=jnp.asarray(nodes), tris=jnp.asarray(tris),
                      leaf_prim=jnp.asarray(leaf_prim), bvh=bvh)
 
 
 def _kernel(ox_ref, oy_ref, oz_ref, dx_ref, dy_ref, dz_ref, tmax_ref,
-            nodes_ref, tris_ref, t_out_ref, slot_out_ref, leaf_out_ref):
+            nodes_ref, tris_ref, t_out_ref, slot_out_ref, leaf_out_ref,
+            *, any_hit: bool = False):
     ox, oy, oz = ox_ref[:], oy_ref[:], oz_ref[:]
     dx, dy, dz = dx_ref[:], dy_ref[:], dz_ref[:]
 
@@ -98,8 +108,14 @@ def _kernel(ox_ref, oy_ref, oz_ref, dx_ref, dy_ref, dz_ref, tmax_ref,
     inv_dy = 1.0 / fix(dy)
     inv_dz = 1.0 / fix(dz)
 
-    def cond(c):
-        return c[0] >= 0
+    if any_hit:
+        # occluded lanes flip best_t to -1; once every lane is either
+        # occluded or culled-on-input (t_max < 0) the tile is done
+        def cond(c):
+            return (c[0] >= 0) & jnp.any(c[1] > 0.0)
+    else:
+        def cond(c):
+            return c[0] >= 0
 
     def body(c):
         cursor, best_t, best_slot, best_leaf = c
@@ -129,7 +145,7 @@ def _kernel(ox_ref, oy_ref, oz_ref, dx_ref, dy_ref, dz_ref, tmax_ref,
         tf = jnp.minimum(tf, jnp.maximum(t1, t2))
         tn = jnp.maximum(tn, 0.0)
         lane_hit = (tn <= tf) & (tn <= best_t)
-        any_hit = jnp.any(lane_hit)
+        any_lane = jnp.any(lane_hit)
 
         is_leaf = count > 0
 
@@ -165,16 +181,18 @@ def _kernel(ox_ref, oy_ref, oz_ref, dx_ref, dy_ref, dz_ref, tmax_ref,
                 good = (~par & (u >= 0.0) & (u <= 1.0) & (v >= 0.0)
                         & (u + v <= 1.0) & (t > EPS) & ok)
                 upd = good & (t < best_t)
-                best_t = jnp.where(upd, t, best_t)
+                # any-hit: an occluder closer than t_max is final — park the
+                # lane at -1 so no later box or leaf test touches it
+                best_t = jnp.where(upd, -1.0 if any_hit else t, best_t)
                 best_slot = jnp.where(upd, k, best_slot)
                 best_leaf = jnp.where(upd, leaf_row, best_leaf)
             return best_t, best_slot, best_leaf
 
         best_t, best_slot, best_leaf = jax.lax.cond(
-            is_leaf & any_hit, leaf_tests, lambda a: a,
+            is_leaf & any_lane, leaf_tests, lambda a: a,
             (best_t, best_slot, best_leaf))
 
-        descend = any_hit & ~is_leaf
+        descend = any_lane & ~is_leaf
         cursor = jnp.where(descend, cursor + 1, miss)
         return cursor, best_t, best_slot, best_leaf
 
@@ -191,12 +209,17 @@ def _kernel(ox_ref, oy_ref, oz_ref, dx_ref, dy_ref, dz_ref, tmax_ref,
 
 def traverse_packet3(packed: PackedBVH, o: jnp.ndarray, d: jnp.ndarray,
                      t_max: jnp.ndarray | None = None,
-                     interpret: bool = False
+                     interpret: bool = False,
+                     any_hit: bool = False
                      ) -> Tuple[jnp.ndarray, jnp.ndarray]:
-    """Nearest mesh hit via the packed-row kernel.
+    """Nearest (or any) mesh hit via the packed-row kernel.
 
     Returns ``(t [N], original MeshSet row [N])``, +inf / -1 on miss; t is
-    re-derived differentiably outside the kernel.
+    re-derived differentiably outside the kernel. ``t_max`` doubles as a
+    lane cull: pass a negative value for lanes that should trace nothing.
+    With ``any_hit`` the first occluder closer than ``t_max`` finishes the
+    lane (t is that occluder's true distance, not the minimum — callers
+    use it only for the ``t < light_dist`` occlusion predicate).
     """
     bvh = packed.bvh
     n = o.shape[0]
@@ -211,8 +234,10 @@ def traverse_packet3(packed: PackedBVH, o: jnp.ndarray, d: jnp.ndarray,
         tmax = jnp.full((total,), _BIG, jnp.float32)
     else:
         tm = jnp.minimum(jnp.asarray(t_max, jnp.float32), _BIG)
-        tmax = (jnp.concatenate([tm, jnp.zeros((n_pad,), jnp.float32)], 0)
-                if n_pad else tm)
+        # pad lanes culled outright (-1): they contribute nothing to the
+        # tile's node-visit union
+        tmax = (jnp.concatenate([tm, jnp.full((n_pad,), -1.0, jnp.float32)],
+                                0) if n_pad else tm)
 
     grid = (total // TILE_R,)
     rep = lambda *shape: pl.BlockSpec(
@@ -221,7 +246,7 @@ def traverse_packet3(packed: PackedBVH, o: jnp.ndarray, d: jnp.ndarray,
     tile = pl.BlockSpec((TILE_R,), lambda i: (i,), memory_space=pltpu.VMEM)
 
     t_out, slot_out, leaf_out = pl.pallas_call(
-        _kernel,
+        functools.partial(_kernel, any_hit=any_hit),
         grid=grid,
         in_specs=[tile, tile, tile, tile, tile, tile, tile,
                   rep(*packed.nodes.shape), rep(*packed.tris.shape)],

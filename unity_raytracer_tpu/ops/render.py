@@ -39,9 +39,11 @@ SHADOW_EPS = sh.SHADOW_EPS
 
 
 def _local_radiance(scene: Scene, o, d, cfg: RenderConfig,
-                    hit: Hit, bvh=None) -> Tuple[jnp.ndarray, jnp.ndarray,
-                                                 jnp.ndarray, object,
-                                                 jnp.ndarray]:
+                    hit: Hit, bvh=None,
+                    active: jnp.ndarray | None = None
+                    ) -> Tuple[jnp.ndarray, jnp.ndarray,
+                               jnp.ndarray, object,
+                               jnp.ndarray]:
     """Shared per-segment work: surface point, attributes, local shading.
 
     Returns (contrib [N,3] — local radiance or background, p, n, mats,
@@ -90,11 +92,12 @@ def _local_radiance(scene: Scene, o, d, cfg: RenderConfig,
     n, mats = sh.surface_attributes(scene, p, hit)
     v = -d  # unit direction back toward the segment origin (= reference's
     #         normalize(rayOrigin - surfacePoint), RayTracingSetup.cs:325)
+    shadow_mask = shade_mask if active is None else (shade_mask & active)
     local = sh.direct_lighting(
         scene, p, n, v, mats,
         soft_shadow_temp=cfg.diff.soft_shadow_temp,
         straight_through=cfg.diff.straight_through, bvh=bvh,
-        kernel=cfg.kernel)
+        kernel=cfg.kernel, mask=shadow_mask)
     bg = jnp.asarray(cfg.background, jnp.float32) * 255.0
     local_safe = jnp.where(shade_mask[:, None], local, bg[None, :])
     contrib = bg[None, :] + w[:, None] * (local_safe - bg[None, :])
@@ -117,9 +120,12 @@ def _trace_chain(scene: Scene, o: jnp.ndarray, d: jnp.ndarray,
 
     def bounce(carry, depth):
         o, d, thr, active, acc = carry
-        hit = nearest_hit(scene, o, d, bvh=bvh, kernel=cfg.kernel)
+        # retired lanes are culled from the traversal union via t_max=-1
+        tmax = jnp.where(active, 3.0e38, -1.0)
+        hit = nearest_hit(scene, o, d, bvh=bvh, kernel=cfg.kernel,
+                          t_max=tmax)
         contrib, p, n, mats, hit_mask = _local_radiance(
-            scene, o, d, cfg, hit, bvh=bvh)
+            scene, o, d, cfg, hit, bvh=bvh, active=active)
         acc = acc + thr * contrib * active[:, None]
         cont = active & hit_mask & mats.is_mirror & (depth < cfg.max_bounces)
         thr = jnp.where(cont[:, None], thr * mats.mirror, thr)
@@ -165,9 +171,11 @@ def _trace_tree(scene: Scene, o: jnp.ndarray, d: jnp.ndarray,
     live = jnp.ones((n_rays,), bool)
 
     for level in range(cfg.max_bounces + 1):
-        hit = nearest_hit(scene, o, d, bvh=bvh, kernel=cfg.kernel)
+        tmax = jnp.where(live, 3.0e38, -1.0)
+        hit = nearest_hit(scene, o, d, bvh=bvh, kernel=cfg.kernel,
+                          t_max=tmax)
         contrib, p, n, mats, hit_mask = _local_radiance(
-            scene, o, d, cfg, hit, bvh=bvh)
+            scene, o, d, cfg, hit, bvh=bvh, active=live)
         lane_rad = weight * contrib * live[:, None]
         acc = acc.at[parent].add(lane_rad)
         if level == cfg.max_bounces:

@@ -72,21 +72,27 @@ def surface_attributes(scene: Scene, p: jnp.ndarray,
 
 def shadow_min_t(scene: Scene, o: jnp.ndarray, d: jnp.ndarray,
                  bvh=None, t_max: jnp.ndarray | None = None,
-                 kernel: str = "auto") -> jnp.ndarray:
+                 kernel: str = "auto", any_hit: bool = False) -> jnp.ndarray:
     """Minimum hit distance per ray (no identity), +inf on miss.
 
     The reference issues a *full* nearest-hit query per shadow ray
     (RayTracingSetup.cs:333) but only consumes the distance; the occlusion
     predicate ``min_t^2 < light_dist^2`` is equivalent under nearest- or
     any-hit, so this cheaper min-reduction is exact. With a BVH, ``t_max``
-    (the light distance) seeds the traversal cull so far subtrees prune.
+    (the light distance) seeds the traversal cull so far subtrees prune;
+    negative ``t_max`` culls a lane outright. ``any_hit`` stops a lane at
+    its first occluder (hard-shadow queries only — the returned t is *an*
+    occluder distance below t_max, sufficient for the occlusion predicate
+    but not the minimum, so keep it off when soft-shadow gradients need
+    the true min margin).
     """
     if bvh is None:
         t_m = isect.ray_triangles(o, d, scene.meshes.verts,
                                   scene.meshes.valid).min(axis=1)
     else:
         from unity_raytracer_tpu.ops.bvh import traverse_any
-        t_m, _ = traverse_any(bvh, o, d, t_max=t_max, kernel=kernel)
+        t_m, _ = traverse_any(bvh, o, d, t_max=t_max, kernel=kernel,
+                              any_hit=any_hit)
     t_s = isect.ray_spheres(o, d, scene.spheres.centers,
                             scene.spheres.radius_sq, scene.spheres.valid)
     t_t = isect.ray_triangles(o, d, scene.triangles.verts, scene.triangles.valid)
@@ -112,7 +118,8 @@ def direct_lighting(scene: Scene, p: jnp.ndarray, n: jnp.ndarray,
                     v: jnp.ndarray, mats: Materials,
                     soft_shadow_temp: float = 0.0,
                     straight_through: bool = True, bvh=None,
-                    kernel: str = "auto") -> jnp.ndarray:
+                    kernel: str = "auto",
+                    mask: jnp.ndarray | None = None) -> jnp.ndarray:
     """Ambient + per-light shadowed diffuse + Blinn-Phong specular, [N,3].
 
     Mirrors the light loop (RayTracingSetup.cs:324-356):
@@ -123,6 +130,13 @@ def direct_lighting(scene: Scene, p: jnp.ndarray, n: jnp.ndarray,
     * specular ``ks * max(0, n.h)^phong * E`` with halfway ``(l+v)/|l+v|``,
       zeroed when the light is behind the surface (l.n < 0 — the reference
       computes ``degrees(acos(l.n)) > 90``, :375-400)
+
+    ``mask`` (optional [N]) marks lanes whose result is consumed (hit /
+    proxy-hit and still active in the bounce chain); shadow queries are
+    culled for masked-off lanes. Back-facing lights (l.n < 0) contribute
+    exactly zero diffuse AND specular, with zero parameter gradient
+    (max(0,·) and the hard spec gate both clamp), so their shadow rays are
+    culled too — the packet kernel skips culled lanes entirely.
     """
     L = scene.lights.positions.shape[0]
     N = p.shape[0]
@@ -131,21 +145,31 @@ def direct_lighting(scene: Scene, p: jnp.ndarray, n: jnp.ndarray,
 
     lvec = scene.lights.positions[None, :, :] - p[:, None, :]      # [N,L,3]
     ldist_sq = jnp.sum(lvec * lvec, axis=-1)                       # [N,L]
-    ldir = lvec / jnp.sqrt(ldist_sq)[..., None]
+    ldist = jnp.sqrt(ldist_sq)
+    ldir = lvec / ldist[..., None]
+    ln = jnp.sum(ldir * n[:, None, :], axis=-1)                    # [N,L]
+
+    need = (ln >= 0.0) & scene.lights.valid[None, :]               # [N,L]
+    if mask is not None:
+        need = need & mask[:, None]
 
     so = p + n * SHADOW_EPS                                        # [N,3]
-    so_flat = jnp.broadcast_to(so[:, None, :], (N, L, 3)).reshape(-1, 3)
-    sd_flat = ldir.reshape(-1, 3)
-    ldist_flat = jnp.sqrt(ldist_sq).reshape(-1)
-    st = shadow_min_t(scene, so_flat, sd_flat, bvh=bvh,
-                      t_max=ldist_flat, kernel=kernel).reshape(N, L)
+    # LIGHT-MAJOR layout: each packet-kernel tile then carries a single
+    # light direction (coherent union path) instead of interleaving L
+    # different directions per tile
+    so_lm = jnp.broadcast_to(so[None, :, :], (L, N, 3)).reshape(-1, 3)
+    sd_lm = jnp.transpose(ldir, (1, 0, 2)).reshape(-1, 3)
+    tmax_lm = jnp.where(need, ldist, -1.0).T.reshape(-1)
+    st = shadow_min_t(scene, so_lm, sd_lm, bvh=bvh,
+                      t_max=tmax_lm, kernel=kernel,
+                      any_hit=(soft_shadow_temp <= 0.0)
+                      ).reshape(L, N).T
 
     occluded = (st * st) < ldist_sq                                # [N,L]
     vis = _soft_or_hard_vis(~occluded, (st * st) - ldist_sq,
                             soft_shadow_temp, straight_through)
 
     irr = scene.lights.intensities[None, :, :] / ldist_sq[..., None]  # [N,L,3]
-    ln = jnp.sum(ldir * n[:, None, :], axis=-1)                    # [N,L]
     diffuse = mats.diffuse[:, None, :] * jnp.maximum(0.0, ln)[..., None] * irr
 
     hv = ldir + v[:, None, :]
