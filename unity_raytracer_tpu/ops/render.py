@@ -40,14 +40,14 @@ SHADOW_EPS = sh.SHADOW_EPS
 
 def _local_radiance(scene: Scene, o, d, cfg: RenderConfig,
                     hit: Hit, bvh=None,
-                    active: jnp.ndarray | None = None
-                    ) -> Tuple[jnp.ndarray, jnp.ndarray,
-                               jnp.ndarray, object,
-                               jnp.ndarray]:
+                    active: jnp.ndarray | None = None,
+                    with_stats: bool = False):
     """Shared per-segment work: surface point, attributes, local shading.
 
     Returns (contrib [N,3] — local radiance or background, p, n, mats,
-    hit_mask). Masked lanes carry safe (finite) values.
+    hit_mask); with ``with_stats`` the tuple is paired with the number of
+    live shadow-query lanes this segment issued. Masked lanes carry safe
+    (finite) values.
     """
     hit_mask = hit.is_hit
     soft_temp = cfg.diff.soft_hit_temp
@@ -93,52 +93,93 @@ def _local_radiance(scene: Scene, o, d, cfg: RenderConfig,
     v = -d  # unit direction back toward the segment origin (= reference's
     #         normalize(rayOrigin - surfacePoint), RayTracingSetup.cs:325)
     shadow_mask = shade_mask if active is None else (shade_mask & active)
-    local = sh.direct_lighting(
+    local, n_shadow = sh.direct_lighting(
         scene, p, n, v, mats,
         soft_shadow_temp=cfg.diff.soft_shadow_temp,
         straight_through=cfg.diff.straight_through, bvh=bvh,
-        kernel=cfg.kernel, mask=shadow_mask)
+        kernel=cfg.kernel, mask=shadow_mask, with_stats=True)
     bg = jnp.asarray(cfg.background, jnp.float32) * 255.0
     local_safe = jnp.where(shade_mask[:, None], local, bg[None, :])
     contrib = bg[None, :] + w[:, None] * (local_safe - bg[None, :])
-    return contrib, p, n, mats, hit_mask
+    out = (contrib, p, n, mats, hit_mask)
+    return (out, n_shadow) if with_stats else out
+
+
+def _live_first_perm(live: jnp.ndarray) -> jnp.ndarray:
+    """Stable partition permutation: live lanes first, order preserved.
+
+    Built from two prefix sums + one unique scatter — O(N) on the VPU, no
+    sort network. Stability matters: lanes stay in pixel-block order
+    (utils/swizzle.py) so the surviving bounce rays remain spatially
+    coherent packets.
+    """
+    n = live.shape[0]
+    live_i32 = live.astype(jnp.int32)
+    live_pos = jnp.cumsum(live_i32) - 1
+    dead_pos = jnp.cumsum(1 - live_i32) - 1
+    n_live = live_pos[-1] + 1
+    pos = jnp.where(live, live_pos, n_live + dead_pos)
+    return (jnp.zeros((n,), jnp.int32)
+            .at[pos].set(jnp.arange(n, dtype=jnp.int32),
+                         unique_indices=True))
 
 
 def _trace_chain(scene: Scene, o: jnp.ndarray, d: jnp.ndarray,
-                 cfg: RenderConfig, bvh=None) -> jnp.ndarray:
+                 cfg: RenderConfig, bvh=None,
+                 with_stats: bool = False) -> jnp.ndarray:
     """Mirror-only linear bounce chain — exact reference semantics.
 
     Segment s contributes ``prod(mirror_0..s-1) * local_s``; the chain stops
     at the first non-mirror hit or miss, and the bounce cap means segment
     depth max_bounces shades locally but spawns nothing
     (``IsMirror && bounce < MaxReflectionBounces``, RayTracingSetup.cs:358).
+
+    Lanes carry their primary-ray id (``lane``) so that, with
+    ``cfg.compact``, surviving lanes are stable-partitioned to the front
+    after every bounce: retired lanes collapse into all-dead packet tiles
+    that exit the traversal kernels at the root test, instead of being
+    dragged through every later segment (flagship scene: ~6% of lanes
+    survive bounce 0 — scripts/divergence_study.py).
+
+    ``with_stats`` additionally returns ``(live [B], shadow_live [B])`` lane
+    counts per segment — the honest-ray-accounting inputs for bench.py.
     """
     n_rays = o.shape[0]
     acc0 = jnp.zeros((n_rays, 3), jnp.float32)
     thr0 = jnp.ones((n_rays, 3), jnp.float32)
     active0 = jnp.ones((n_rays,), bool)
+    lane0 = jnp.arange(n_rays, dtype=jnp.int32)
 
     def bounce(carry, depth):
-        o, d, thr, active, acc = carry
+        o, d, thr, active, lane, acc = carry
         # retired lanes are culled from the traversal union via t_max=-1
         tmax = jnp.where(active, 3.0e38, -1.0)
         hit = nearest_hit(scene, o, d, bvh=bvh, kernel=cfg.kernel,
                           t_max=tmax)
-        contrib, p, n, mats, hit_mask = _local_radiance(
-            scene, o, d, cfg, hit, bvh=bvh, active=active)
-        acc = acc + thr * contrib * active[:, None]
+        (contrib, p, n, mats, hit_mask), n_shadow = _local_radiance(
+            scene, o, d, cfg, hit, bvh=bvh, active=active,
+            with_stats=True)
+        acc = acc.at[lane].add(thr * contrib * active[:, None],
+                               unique_indices=True)
         cont = active & hit_mask & mats.is_mirror & (depth < cfg.max_bounces)
         thr = jnp.where(cont[:, None], thr * mats.mirror, thr)
         o = p + n * SHADOW_EPS        # Reflect origin offset (:368-373)
         d = jnp.where(cont[:, None], sh.reflect_dir(d, n), d)
-        return (o, d, thr, cont, acc), None
+        stats = (jnp.sum(active.astype(jnp.int32)), n_shadow)
+        if cfg.compact:
+            perm = _live_first_perm(cont)
+            take = lambda x: jnp.take(x, perm, axis=0)
+            o, d, thr, cont, lane = map(take, (o, d, thr, cont, lane))
+        return (o, d, thr, cont, lane, acc), stats
 
     # lax.scan: the bounce body compiles ONCE regardless of depth — keeps
     # XLA program size (and remote-compile time) flat vs depth, unlike a
     # Python unroll which inlines the intersect+shade stage per segment.
-    (_, _, _, _, acc), _ = jax.lax.scan(
-        bounce, (o, d, thr0, active0, acc0),
+    (_, _, _, _, _, acc), stats = jax.lax.scan(
+        bounce, (o, d, thr0, active0, lane0, acc0),
         jnp.arange(cfg.max_bounces + 1), unroll=1)
+    if with_stats:
+        return acc, stats
     return acc
 
 
@@ -266,21 +307,65 @@ def trace_radiance(scene: Scene, o: jnp.ndarray, d: jnp.ndarray,
     return _trace_tree(scene, o, d, cfg, 0, bvh=bvh)
 
 
+@partial(jax.jit, static_argnames=("cfg",))
+def trace_radiance_stats(scene: Scene, o: jnp.ndarray, d: jnp.ndarray,
+                         cfg: RenderConfig, bvh=None):
+    """Scan-mode trace that also returns per-segment (live nearest lanes,
+    live shadow lanes) counts — bench.py's honest-ray-accounting probe."""
+    return _trace_chain(scene, o, d, cfg, bvh=bvh, with_stats=True)
+
+
+@partial(jax.jit, static_argnames=("cfg",))
+def _frame_core(scene: Scene, cam: Camera, perm, inv,
+                cfg: RenderConfig, bvh=None) -> jnp.ndarray:
+    """Jitted raygen -> swizzle -> trace -> unswizzle -> [H,W,3] image."""
+    o, d = generate_rays(cam)
+    o = jnp.take(o, perm, axis=0)
+    d = jnp.take(d, perm, axis=0)
+    rad = trace_radiance(scene, o, d, cfg, bvh=bvh)
+    rad = jnp.take(rad, inv, axis=0)
+    return rad.reshape(cam.height, cam.width, 3) / 255.0
+
+
+def frame_perms(cam: Camera, cfg: RenderConfig):
+    """(perm, inv) lane swizzle for this camera/config as device arrays."""
+    from unity_raytracer_tpu.utils.swizzle import block_perm
+    perm, inv = block_perm(cam.width, cam.height, cfg.block_size)
+    return jnp.asarray(perm), jnp.asarray(inv)
+
+
+def render_frame(scene: Scene, cam: Camera, cfg: RenderConfig,
+                 bvh=None) -> jnp.ndarray:
+    """Full-frame render, one jit: the benchmark's timed unit.
+
+    Primary rays are swizzled into ``cfg.block_size``-square screen blocks
+    (utils/swizzle.py) so every packet-kernel tile covers a compact square
+    of pixels; radiance is unswizzled on the way out. Exact same image as
+    row-major order — swizzling is a pure lane permutation.
+    """
+    cfg = resolve_mode(scene, cfg)
+    perm, inv = frame_perms(cam, cfg)
+    return _frame_core(scene, cam, perm, inv, cfg, bvh)
+
+
 def render(scene: Scene, cam: Camera, cfg: RenderConfig,
            bvh=None) -> jnp.ndarray:
     """Render the full image [H,W,3] on the display (0-1) scale.
 
-    Host-side wrapper: resolves 'auto' mode, generates primary rays, chunks
-    them if requested (bounding the [rays x prims] working set), builds the
-    BVH if ``cfg.use_bvh`` and none was passed, and jit-runs the trace.
+    Host-side wrapper: resolves 'auto' mode, builds the BVH if
+    ``cfg.use_bvh`` and none was passed, and jit-runs the swizzled frame —
+    chunked over rays if ``cfg.ray_chunk`` bounds the working set.
     """
     cfg = resolve_mode(scene, cfg)
     if cfg.use_bvh and bvh is None:
         from unity_raytracer_tpu.ops import bvh as bvhmod
         bvh = bvhmod.prepare_bvh(scene, cfg)
-    o, d = generate_rays(cam)
-    n = o.shape[0]
+    n = cam.width * cam.height
     if cfg.ray_chunk and cfg.ray_chunk < n:
+        o, d = generate_rays(cam)
+        perm, inv = frame_perms(cam, cfg)
+        o = jnp.take(o, perm, axis=0)
+        d = jnp.take(d, perm, axis=0)
         c = cfg.ray_chunk
         pad = (-n) % c
         if pad:
@@ -293,7 +378,6 @@ def render(scene: Scene, cam: Camera, cfg: RenderConfig,
         rad = jax.lax.map(
             lambda od: trace_radiance(scene, od[0], od[1], cfg, bvh=bvh),
             (oc, dc)).reshape(-1, 3)[:n]
-    else:
-        rad = trace_radiance(scene, o, d, cfg, bvh=bvh)
-    img = rad.reshape(cam.height, cam.width, 3) / 255.0
-    return img
+        rad = jnp.take(rad, inv, axis=0)
+        return rad.reshape(cam.height, cam.width, 3) / 255.0
+    return _frame_core(scene, cam, *frame_perms(cam, cfg), cfg, bvh)

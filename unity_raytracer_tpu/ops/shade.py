@@ -119,7 +119,8 @@ def direct_lighting(scene: Scene, p: jnp.ndarray, n: jnp.ndarray,
                     soft_shadow_temp: float = 0.0,
                     straight_through: bool = True, bvh=None,
                     kernel: str = "auto",
-                    mask: jnp.ndarray | None = None) -> jnp.ndarray:
+                    mask: jnp.ndarray | None = None,
+                    with_stats: bool = False) -> jnp.ndarray:
     """Ambient + per-light shadowed diffuse + Blinn-Phong specular, [N,3].
 
     Mirrors the light loop (RayTracingSetup.cs:324-356):
@@ -182,6 +183,8 @@ def direct_lighting(scene: Scene, p: jnp.ndarray, n: jnp.ndarray,
 
     lvalid = scene.lights.valid[None, :, None].astype(jnp.float32)
     color = color + jnp.sum((diffuse + spec) * vis[..., None] * lvalid, axis=1)
+    if with_stats:  # live shadow-query lanes (bench honest accounting)
+        return color, jnp.sum(need.astype(jnp.int32))
     return color
 
 

@@ -44,6 +44,11 @@ class RenderConfig:
     ray_chunk: Optional[int] = None  # rays per chunk (None = all at once)
     use_bvh: bool = False
     kernel: str = "auto"             # 'auto' | 'xla' | 'pallas' traversal
+    block_size: int = 32        # pixel-block swizzle (utils/swizzle.py);
+    #                             <=1 keeps row-major lane order
+    compact: bool = True        # live-first lane compaction between bounces
+    #                             (scan mode): dead packet tiles exit at the
+    #                             root instead of dragging 1-live-lane tiles
     diff: DiffConfig = field(default_factory=DiffConfig)
 
     def with_(self, **kw) -> "RenderConfig":
