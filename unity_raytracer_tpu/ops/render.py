@@ -29,7 +29,8 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
-from unity_raytracer_tpu.models.camera import Camera, generate_rays
+from unity_raytracer_tpu.models.camera import (
+    Camera, generate_rays, generate_rays_blocks)
 from unity_raytracer_tpu.models.scene import Scene
 from unity_raytracer_tpu.ops import shade as sh
 from unity_raytracer_tpu.ops.intersect import Hit, nearest_hit
@@ -105,25 +106,6 @@ def _local_radiance(scene: Scene, o, d, cfg: RenderConfig,
     return (out, n_shadow) if with_stats else out
 
 
-def _live_first_perm(live: jnp.ndarray) -> jnp.ndarray:
-    """Stable partition permutation: live lanes first, order preserved.
-
-    Built from two prefix sums + one unique scatter — O(N) on the VPU, no
-    sort network. Stability matters: lanes stay in pixel-block order
-    (utils/swizzle.py) so the surviving bounce rays remain spatially
-    coherent packets.
-    """
-    n = live.shape[0]
-    live_i32 = live.astype(jnp.int32)
-    live_pos = jnp.cumsum(live_i32) - 1
-    dead_pos = jnp.cumsum(1 - live_i32) - 1
-    n_live = live_pos[-1] + 1
-    pos = jnp.where(live, live_pos, n_live + dead_pos)
-    return (jnp.zeros((n,), jnp.int32)
-            .at[pos].set(jnp.arange(n, dtype=jnp.int32),
-                         unique_indices=True))
-
-
 def _trace_chain(scene: Scene, o: jnp.ndarray, d: jnp.ndarray,
                  cfg: RenderConfig, bvh=None,
                  with_stats: bool = False) -> jnp.ndarray:
@@ -134,12 +116,19 @@ def _trace_chain(scene: Scene, o: jnp.ndarray, d: jnp.ndarray,
     depth max_bounces shades locally but spawns nothing
     (``IsMirror && bounce < MaxReflectionBounces``, RayTracingSetup.cs:358).
 
-    Lanes carry their primary-ray id (``lane``) so that, with
-    ``cfg.compact``, surviving lanes are stable-partitioned to the front
-    after every bounce: retired lanes collapse into all-dead packet tiles
-    that exit the traversal kernels at the root test, instead of being
-    dragged through every later segment (flagship scene: ~6% of lanes
-    survive bounce 0 — scripts/divergence_study.py).
+    Dead-lane handling (measured on v5e, scripts/glue_study.py):
+
+    * retired lanes are culled from the packet-traversal union via
+      ``t_max = -1``; with block-ordered lanes (generate_rays_blocks) the
+      surviving bounce rays stay spatially clustered, so most tiles turn
+      all-dead and exit the kernels at the root test;
+    * a whole segment with ZERO live lanes is skipped entirely with one
+      ``lax.cond`` (the flagship scene is dead after segment 1 — live
+      counts [2.07M, 126k, 0, 0, 0]);
+    * live-first lane COMPACTION between bounces was tried and REVERTED:
+      the permutation costs ~5 [N]-gathers + a scatter per segment
+      (~0.5-1.5s/frame at 2M lanes — gathers/scatters are ~0.15-0.3s each
+      on v5e) to save ~10ms of traversal. Negative result, kept out.
 
     ``with_stats`` additionally returns ``(live [B], shadow_live [B])`` lane
     counts per segment — the honest-ray-accounting inputs for bench.py.
@@ -148,10 +137,9 @@ def _trace_chain(scene: Scene, o: jnp.ndarray, d: jnp.ndarray,
     acc0 = jnp.zeros((n_rays, 3), jnp.float32)
     thr0 = jnp.ones((n_rays, 3), jnp.float32)
     active0 = jnp.ones((n_rays,), bool)
-    lane0 = jnp.arange(n_rays, dtype=jnp.int32)
 
-    def bounce(carry, depth):
-        o, d, thr, active, lane, acc = carry
+    def live_seg(args):
+        o, d, thr, active, acc, depth = args
         # retired lanes are culled from the traversal union via t_max=-1
         tmax = jnp.where(active, 3.0e38, -1.0)
         hit = nearest_hit(scene, o, d, bvh=bvh, kernel=cfg.kernel,
@@ -159,24 +147,29 @@ def _trace_chain(scene: Scene, o: jnp.ndarray, d: jnp.ndarray,
         (contrib, p, n, mats, hit_mask), n_shadow = _local_radiance(
             scene, o, d, cfg, hit, bvh=bvh, active=active,
             with_stats=True)
-        acc = acc.at[lane].add(thr * contrib * active[:, None],
-                               unique_indices=True)
+        acc = acc + thr * contrib * active[:, None]
         cont = active & hit_mask & mats.is_mirror & (depth < cfg.max_bounces)
         thr = jnp.where(cont[:, None], thr * mats.mirror, thr)
         o = p + n * SHADOW_EPS        # Reflect origin offset (:368-373)
         d = jnp.where(cont[:, None], sh.reflect_dir(d, n), d)
-        stats = (jnp.sum(active.astype(jnp.int32)), n_shadow)
-        if cfg.compact:
-            perm = _live_first_perm(cont)
-            take = lambda x: jnp.take(x, perm, axis=0)
-            o, d, thr, cont, lane = map(take, (o, d, thr, cont, lane))
-        return (o, d, thr, cont, lane, acc), stats
+        return (o, d, thr, cont, acc), n_shadow
+
+    def dead_seg(args):
+        o, d, thr, active, acc, depth = args
+        return (o, d, thr, active, acc), jnp.int32(0)
+
+    def bounce(carry, depth):
+        o, d, thr, active, acc = carry
+        n_live = jnp.sum(active.astype(jnp.int32))
+        carry, n_shadow = jax.lax.cond(
+            n_live > 0, live_seg, dead_seg, (o, d, thr, active, acc, depth))
+        return carry, (n_live, n_shadow)
 
     # lax.scan: the bounce body compiles ONCE regardless of depth — keeps
     # XLA program size (and remote-compile time) flat vs depth, unlike a
     # Python unroll which inlines the intersect+shade stage per segment.
-    (_, _, _, _, _, acc), stats = jax.lax.scan(
-        bounce, (o, d, thr0, active0, lane0, acc0),
+    (_, _, _, _, acc), stats = jax.lax.scan(
+        bounce, (o, d, thr0, active0, acc0),
         jnp.arange(cfg.max_bounces + 1), unroll=1)
     if with_stats:
         return acc, stats
@@ -316,36 +309,32 @@ def trace_radiance_stats(scene: Scene, o: jnp.ndarray, d: jnp.ndarray,
 
 
 @partial(jax.jit, static_argnames=("cfg",))
-def _frame_core(scene: Scene, cam: Camera, perm, inv,
-                cfg: RenderConfig, bvh=None) -> jnp.ndarray:
-    """Jitted raygen -> swizzle -> trace -> unswizzle -> [H,W,3] image."""
-    o, d = generate_rays(cam)
-    o = jnp.take(o, perm, axis=0)
-    d = jnp.take(d, perm, axis=0)
+def _frame_core(scene: Scene, cam: Camera, cfg: RenderConfig,
+                bvh=None) -> jnp.ndarray:
+    """Jitted block-order raygen -> trace -> unswizzle -> [H,W,3] image.
+
+    No gathers anywhere: rays are generated directly in pixel-block order
+    (models/camera.generate_rays_blocks, integer lane math) and the image
+    is restored with one reshape+transpose (utils/swizzle.unswizzle_image).
+    """
+    from unity_raytracer_tpu.utils.swizzle import unswizzle_image
+    o, d = generate_rays_blocks(cam, cfg.block_size)
     rad = trace_radiance(scene, o, d, cfg, bvh=bvh)
-    rad = jnp.take(rad, inv, axis=0)
-    return rad.reshape(cam.height, cam.width, 3) / 255.0
-
-
-def frame_perms(cam: Camera, cfg: RenderConfig):
-    """(perm, inv) lane swizzle for this camera/config as device arrays."""
-    from unity_raytracer_tpu.utils.swizzle import block_perm
-    perm, inv = block_perm(cam.width, cam.height, cfg.block_size)
-    return jnp.asarray(perm), jnp.asarray(inv)
+    return unswizzle_image(rad, cam.width, cam.height,
+                           cfg.block_size) / 255.0
 
 
 def render_frame(scene: Scene, cam: Camera, cfg: RenderConfig,
                  bvh=None) -> jnp.ndarray:
     """Full-frame render, one jit: the benchmark's timed unit.
 
-    Primary rays are swizzled into ``cfg.block_size``-square screen blocks
-    (utils/swizzle.py) so every packet-kernel tile covers a compact square
-    of pixels; radiance is unswizzled on the way out. Exact same image as
-    row-major order — swizzling is a pure lane permutation.
+    Primary rays are emitted in ``cfg.block_size``-square screen-block lane
+    order so every packet-kernel tile covers a compact square of pixels;
+    the image is un-swizzled by a pure relayout on the way out. Exact same
+    image as row-major order.
     """
     cfg = resolve_mode(scene, cfg)
-    perm, inv = frame_perms(cam, cfg)
-    return _frame_core(scene, cam, perm, inv, cfg, bvh)
+    return _frame_core(scene, cam, cfg, bvh)
 
 
 def render(scene: Scene, cam: Camera, cfg: RenderConfig,
@@ -353,21 +342,20 @@ def render(scene: Scene, cam: Camera, cfg: RenderConfig,
     """Render the full image [H,W,3] on the display (0-1) scale.
 
     Host-side wrapper: resolves 'auto' mode, builds the BVH if
-    ``cfg.use_bvh`` and none was passed, and jit-runs the swizzled frame —
-    chunked over rays if ``cfg.ray_chunk`` bounds the working set.
+    ``cfg.use_bvh`` and none was passed, and jit-runs the block-ordered
+    frame — chunked over rays if ``cfg.ray_chunk`` bounds the working set.
     """
+    from unity_raytracer_tpu.utils.swizzle import unswizzle_image
     cfg = resolve_mode(scene, cfg)
     if cfg.use_bvh and bvh is None:
         from unity_raytracer_tpu.ops import bvh as bvhmod
         bvh = bvhmod.prepare_bvh(scene, cfg)
     n = cam.width * cam.height
     if cfg.ray_chunk and cfg.ray_chunk < n:
-        o, d = generate_rays(cam)
-        perm, inv = frame_perms(cam, cfg)
-        o = jnp.take(o, perm, axis=0)
-        d = jnp.take(d, perm, axis=0)
+        o, d = generate_rays_blocks(cam, cfg.block_size)
+        total = o.shape[0]
         c = cfg.ray_chunk
-        pad = (-n) % c
+        pad = (-total) % c
         if pad:
             o = jnp.concatenate([o, jnp.zeros((pad, 3), o.dtype)
                                  .at[:, 2].set(1.0)], axis=0)
@@ -377,7 +365,7 @@ def render(scene: Scene, cam: Camera, cfg: RenderConfig,
         dc = d.reshape(-1, c, 3)
         rad = jax.lax.map(
             lambda od: trace_radiance(scene, od[0], od[1], cfg, bvh=bvh),
-            (oc, dc)).reshape(-1, 3)[:n]
-        rad = jnp.take(rad, inv, axis=0)
-        return rad.reshape(cam.height, cam.width, 3) / 255.0
-    return _frame_core(scene, cam, *frame_perms(cam, cfg), cfg, bvh)
+            (oc, dc)).reshape(-1, 3)[:total]
+        img = unswizzle_image(rad, cam.width, cam.height, cfg.block_size)
+        return img / 255.0
+    return _frame_core(scene, cam, cfg, bvh)

@@ -26,47 +26,84 @@ def _sel3(mask: jnp.ndarray, a: jnp.ndarray, b: jnp.ndarray) -> jnp.ndarray:
     return jnp.where(mask[:, None], a, b)
 
 
+_SMALL_TABLE = 32
+
+
+def take_rows(table: jnp.ndarray, idx: jnp.ndarray) -> jnp.ndarray:
+    """Row lookup that avoids XLA gather for small tables.
+
+    TPU gathers cost ~0.05-0.15s per 2M-row lookup on v5e even from tiny
+    tables (scripts/glue_study.py); for tables with <= 32 rows an unrolled
+    masked-select chain is pure elementwise VPU work that XLA fuses into
+    neighbouring ops. Falls back to a real gather for big tables.
+    ``idx`` must already be clipped to [0, rows).
+    """
+    r = table.shape[0]
+    if r > _SMALL_TABLE:
+        return jnp.take(table, idx, axis=0)
+    m = idx[(...,) + (None,) * (table.ndim - 1)]  # broadcast over row dims
+    out = jnp.broadcast_to(table[0], idx.shape + table.shape[1:])
+    for k in range(1, r):
+        out = jnp.where(m == k, table[k], out)
+    return out
+
+
 def surface_attributes(scene: Scene, p: jnp.ndarray,
                        hit: Hit) -> Tuple[jnp.ndarray, Materials]:
-    """Per-ray surface normal and material via masked gathers.
+    """Per-ray surface normal and material via masked selects.
 
     Replaces the reference's ObjectType switch
-    (RayTracingSetup.cs:409-436): gather each category at the clipped hit
+    (RayTracingSetup.cs:409-436): look up each category at the clipped hit
     index, then select by category code. Sphere normals are recomputed from
-    the hit point (GetSphereNormal, RayTracingSetup.cs:402-407); triangle and
-    mesh normals are table lookups.
+    the hit point (GetSphereNormal, RayTracingSetup.cs:402-407); triangle
+    and mesh normals are table lookups. Material fields come from ONE
+    combined (sphere ++ loose-tri ++ mesh) table per field indexed by a
+    single combined index — small-table lookups lower to fused selects
+    rather than 21 separate gathers (take_rows).
     """
     idx = jnp.clip(hit.index, 0, None)
+    is_s = hit.kind == KIND_SPHERE
+    is_m = hit.kind == KIND_MESH
+
+    s_cnt = scene.spheres.count
+    t_cnt = scene.triangles.count
+    k_cnt = scene.meshes.mesh_count
 
     # sphere normal: normalize(p - center)
-    sc = jnp.take(scene.spheres.centers, jnp.clip(idx, 0, scene.spheres.count - 1),
-                  axis=0)
+    sc = take_rows(scene.spheres.centers, jnp.clip(idx, 0, s_cnt - 1))
     sn = p - sc
-    sn = sn / jnp.maximum(jnp.linalg.norm(sn, axis=-1, keepdims=True), 1e-30)
+    sn = sn * jax.lax.rsqrt(
+        jnp.maximum(jnp.sum(sn * sn, axis=-1, keepdims=True), 1e-60))
 
-    tn = jnp.take(scene.triangles.normals,
-                  jnp.clip(idx, 0, scene.triangles.count - 1), axis=0)
+    tn = take_rows(scene.triangles.normals, jnp.clip(idx, 0, t_cnt - 1))
     mn = jnp.take(scene.meshes.normals,
                   jnp.clip(idx, 0, scene.meshes.count - 1), axis=0)
 
-    n = _sel3(hit.kind == KIND_SPHERE, sn,
-              _sel3(hit.kind == KIND_MESH, mn, tn))
+    n = _sel3(is_s, sn, _sel3(is_m, mn, tn))
 
-    m_sph = scene.spheres.materials.take(
-        jnp.clip(idx, 0, scene.spheres.count - 1))
-    m_tri = scene.triangles.materials.take(
-        jnp.clip(idx, 0, scene.triangles.count - 1))
-    m_mesh = scene.meshes.mesh_materials.take(
-        jnp.clip(hit.mesh_index, 0, scene.meshes.mesh_count - 1))
+    comb = jnp.where(
+        is_s, jnp.clip(idx, 0, s_cnt - 1),
+        jnp.where(is_m,
+                  s_cnt + t_cnt + jnp.clip(hit.mesh_index, 0, k_cnt - 1),
+                  s_cnt + jnp.clip(idx, 0, t_cnt - 1)))
 
-    def sel(a, b, c):  # sphere / mesh / tri per-field select
-        is_s = hit.kind == KIND_SPHERE
-        is_m = hit.kind == KIND_MESH
-        if a.ndim == 2:
-            return jnp.where(is_s[:, None], a, jnp.where(is_m[:, None], b, c))
-        return jnp.where(is_s, a, jnp.where(is_m, b, c))
+    def field(f):
+        table = jnp.concatenate(
+            [f(scene.spheres.materials), f(scene.triangles.materials),
+             f(scene.meshes.mesh_materials)], axis=0)
+        return take_rows(table, comb)
 
-    mats = jax.tree.map(sel, m_sph, m_mesh, m_tri)
+    mats = Materials(
+        diffuse=field(lambda m: m.diffuse),
+        ambient=field(lambda m: m.ambient),
+        mirror=field(lambda m: m.mirror),
+        specular=field(lambda m: m.specular),
+        phong=field(lambda m: m.phong),
+        is_mirror=field(lambda m: m.is_mirror),
+        transparency=field(lambda m: m.transparency),
+        ior=field(lambda m: m.ior),
+        is_dielectric=field(lambda m: m.is_dielectric),
+    )
     return n, mats
 
 

@@ -19,7 +19,8 @@ class DiffConfig:
     (hitDist^2 < lightDist^2, reference RayTracingSetup.cs:337-345) into a
     sigmoid so silhouette gradients exist. With ``straight_through=True`` the
     forward value stays exactly hard (parity preserved) while the backward
-    pass sees the soft function — see ops/softvis.py.
+    pass sees the soft function — see ops/shade.py (_soft_or_hard_vis) and
+    ops/render.py (_local_radiance).
     """
 
     soft_shadow_temp: float = 0.0
@@ -44,11 +45,9 @@ class RenderConfig:
     ray_chunk: Optional[int] = None  # rays per chunk (None = all at once)
     use_bvh: bool = False
     kernel: str = "auto"             # 'auto' | 'xla' | 'pallas' traversal
-    block_size: int = 32        # pixel-block swizzle (utils/swizzle.py);
-    #                             <=1 keeps row-major lane order
-    compact: bool = True        # live-first lane compaction between bounces
-    #                             (scan mode): dead packet tiles exit at the
-    #                             root instead of dragging 1-live-lane tiles
+    block_size: int = 32        # pixel-block lane order (utils/swizzle.py,
+    #                             camera.generate_rays_blocks); <=1 keeps
+    #                             row-major lane order
     diff: DiffConfig = field(default_factory=DiffConfig)
 
     def with_(self, **kw) -> "RenderConfig":

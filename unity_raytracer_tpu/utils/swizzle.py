@@ -13,10 +13,15 @@ The reference sorts its pixel loop for cache locality for the same reason
 Demo-RayTracing/RayTracingSetup.cs:286) — here the "cache line" is the
 packet tile.
 
-``block_perm`` returns (perm, inv) as int32 numpy arrays with
-``flat_swizzled = flat_rowmajor[perm]`` and ``flat_rowmajor =
-flat_swizzled[inv]``. Partial edge blocks (H or W not divisible by bs) stay
-contiguous and coherent.
+Two implementations:
+
+* ``block_perm`` — explicit permutation arrays (kept for analysis scripts
+  and equivalence tests). Applying it with gathers costs 0.14-0.18s per
+  [2M,3] take on v5e — measured to be MORE than the traversal it helps.
+* the production path — rays are GENERATED in block order
+  (models/camera.generate_rays_blocks, pure integer lane math) on a
+  padded whole-block grid, and ``unswizzle_image`` restores row-major
+  with one reshape+transpose (a relayout, not a gather).
 """
 
 from __future__ import annotations
@@ -25,6 +30,30 @@ import functools
 from typing import Tuple
 
 import numpy as np
+
+
+def padded_dims(width: int, height: int, bs: int) -> Tuple[int, int]:
+    """(Wp, Hp): image dims rounded up to whole bs x bs blocks."""
+    if bs <= 1:
+        return width, height
+    return -(-width // bs) * bs, -(-height // bs) * bs
+
+
+def unswizzle_image(rad, width: int, height: int, bs: int):
+    """Block-ordered radiance [Wp*Hp, C] -> row-major image [H, W, C].
+
+    Inverse of models/camera.generate_rays_blocks's lane order: lanes are
+    (block row, block col, in-block row, in-block col); a single 5-d
+    reshape + transpose restores (row, col) and the pad margin is cropped.
+    """
+    import jax.numpy as jnp
+    c = rad.shape[-1]
+    if bs <= 1:
+        return rad.reshape(height, width, c)
+    wp, hp = padded_dims(width, height, bs)
+    img = rad.reshape(hp // bs, wp // bs, bs, bs, c)
+    img = jnp.transpose(img, (0, 2, 1, 3, 4)).reshape(hp, wp, c)
+    return img[:height, :width]
 
 
 @functools.lru_cache(maxsize=32)
