@@ -249,7 +249,7 @@ def main():
     import jax
     jax.config.update("jax_platforms", "cpu")
     from unity_raytracer_tpu.ops.bvh import traverse
-    t1, _ = traverse(bvh, o, d)
+    t1, _, _ = traverse(bvh, o, d)
     t1 = np.asarray(t1)
     hitm = np.isfinite(t1)
     p = o + d * np.where(hitm, t1, 1.0)[:, None]

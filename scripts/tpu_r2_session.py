@@ -92,8 +92,8 @@ def main():
         emit(step="vpu_fma", compile_s=c, time_s=t,
              tflops=flops / t / 1e12)
 
-    need_scene = any(s in STEPS for s in ("frame4", "frame3", "trav",
-                                          "stats"))
+    need_scene = any(s in STEPS for s in ("frame4", "frame3", "framem",
+                                          "trav", "stats"))
     if need_scene:
         from unity_raytracer_tpu.models.camera import generate_rays_blocks
         from unity_raytracer_tpu.models.presets import mesh100k
@@ -107,6 +107,14 @@ def main():
         packed = bvhmod.prepare_bvh(scene, cfg)
         emit(step="bvh_build", time_s=time.perf_counter() - t0,
              nodes=int(packed.bvh.n_nodes))
+
+    if "framem" in STEPS:
+        cfgm = cfg.with_(kernel="mega")
+        packedm = bvhmod.prepare_bvh(scene, cfgm)
+        c, t, img = timed(lambda: render_frame(scene, cam, cfgm,
+                                               bvh=packedm))
+        emit(step="frame_mega", compile_s=c, time_s=t,
+             rays_per_s=41472000 / t, mean=float(img.mean()))
 
     if "frame4" in STEPS:
         c, t, img = timed(lambda: render_frame(scene, cam, cfg, bvh=packed))
@@ -129,12 +137,12 @@ def main():
         o, d = generate_rays_blocks(cam, cfg.block_size)
 
         f4 = jax.jit(lambda o, d: traverse_packet4(packed, o, d))
-        c, t, (t4, i4) = timed(f4, o, d)
+        c, t, (t4, i4, _) = timed(f4, o, d)
         emit(step="trav4_primary", compile_s=c, time_s=t,
              mrays_per_s=o.shape[0] / t / 1e6)
 
         f3 = jax.jit(lambda o, d: traverse_packet3(packed, o, d))
-        c, t, (t3, i3) = timed(f3, o, d)
+        c, t, (t3, i3, _) = timed(f3, o, d)
         emit(step="trav3_primary", compile_s=c, time_s=t,
              mrays_per_s=o.shape[0] / t / 1e6,
              match=float(jnp.mean((i3 == i4).astype(jnp.float32))))

@@ -40,7 +40,7 @@ def test_icosphere_equivalence(rng, subdiv):
     bvh = bvhmod.build(np.asarray(verts))
     o, d = _rand_rays(rng, 512)
     t_ref, i_ref = _brute(verts, o, d)
-    t_bvh, i_bvh = bvhmod.traverse(bvh, o, d)
+    t_bvh, i_bvh, _ = bvhmod.traverse(bvh, o, d)
     t_bvh, i_bvh = np.asarray(t_bvh), np.asarray(i_bvh)
     np.testing.assert_array_equal(i_bvh, i_ref)
     hit = np.isfinite(t_ref)
@@ -56,7 +56,7 @@ def test_random_soup_equivalence(rng):
     bvh = bvhmod.build(tris)
     o, d = _rand_rays(rng, 512, spread=5.0)
     t_ref, i_ref = _brute(verts, o, d)
-    t_bvh, i_bvh = bvhmod.traverse(bvh, o, d)
+    t_bvh, i_bvh, _ = bvhmod.traverse(bvh, o, d)
     np.testing.assert_array_equal(np.asarray(i_bvh), i_ref)
     hit = np.isfinite(t_ref)
     np.testing.assert_allclose(np.asarray(t_bvh)[hit], t_ref[hit],
@@ -74,7 +74,7 @@ def test_valid_mask_respected(rng):
     bvh = bvhmod.build(padded, valid)
     o, d = _rand_rays(rng, 256)
     t_ref, i_ref = _brute(jnp.asarray(tris), o, d)
-    t_bvh, i_bvh = bvhmod.traverse(bvh, o, d)
+    t_bvh, i_bvh, _ = bvhmod.traverse(bvh, o, d)
     np.testing.assert_array_equal(np.asarray(i_bvh), i_ref)
 
 
@@ -85,9 +85,9 @@ def test_tmax_seed_prunes(rng):
     n = 64
     o = jnp.zeros((n, 3), jnp.float32)
     d = jnp.tile(jnp.asarray([[0.0, 0.0, 1.0]], jnp.float32), (n, 1))
-    t_near, i_near = bvhmod.traverse(bvh, o, d)
+    t_near, i_near, _ = bvhmod.traverse(bvh, o, d)
     assert np.isfinite(np.asarray(t_near)).all()
-    t_cut, i_cut = bvhmod.traverse(bvh, o, d,
+    t_cut, i_cut, _ = bvhmod.traverse(bvh, o, d,
                                    t_max=jnp.full((n,), 5.0, jnp.float32))
     assert (np.asarray(i_cut) == -1).all()
 
@@ -107,7 +107,7 @@ def test_traverse_gradient_flows(rng):
                        first=bvh.first, count=bvh.count,
                        miss_next=bvh.miss_next, tri_verts=scaled,
                        prim_index=bvh.prim_index)
-        t, _ = bvhmod.traverse(b2, o, d)
+        t, _, _ = bvhmod.traverse(b2, o, d)
         return t[0]
 
     g = float(jax.grad(f_scale)(jnp.float32(1.0)))
@@ -137,8 +137,8 @@ def test_native_builder_matches_numpy(rng):
     b_np = bvhmod.build(tris, backend="numpy")
     b_cc = bvhmod.build(tris, backend="native")
     o, d = _rand_rays(rng, 512)
-    t1, i1 = bvhmod.traverse(b_np, o, d)
-    t2, i2 = bvhmod.traverse(b_cc, o, d)
+    t1, i1, _ = bvhmod.traverse(b_np, o, d)
+    t2, i2, _ = bvhmod.traverse(b_cc, o, d)
     np.testing.assert_array_equal(np.asarray(i1), np.asarray(i2))
     hit = np.isfinite(np.asarray(t1))
     np.testing.assert_allclose(np.asarray(t1)[hit], np.asarray(t2)[hit],

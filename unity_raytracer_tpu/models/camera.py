@@ -100,11 +100,17 @@ def generate_rays_blocks(cam: Camera, bs: int
     top_left = center - cam.right * cam.half_h + cam.up * cam.half_v
     xs = (x.astype(jnp.float32) + 0.5) * (2.0 * cam.half_h / w)
     ys = (y.astype(jnp.float32) + 0.5) * (2.0 * cam.half_v / h)
-    pix = (top_left[None, :]
-           + xs[:, None] * cam.right[None, :]
-           - ys[:, None] * cam.up[None, :])                    # [Np,3]
-    d = pix - cam.position[None, :]
-    d = d / jnp.linalg.norm(d, axis=-1, keepdims=True)
+    # SoA per-component math: normalizing an [N,3] array (reduce +
+    # broadcast along a size-3 minor axis) measured ~5x slower on v5e
+    # than three [N] lanes (scripts/tpu_probe2.py normalize_N3 vs _soa).
+    # Operation ORDER matches the original [N,3] formulation bitwise
+    # ((top_left + xs*r - ys*u) - pos, then sqrt+divide) so golden images
+    # and silhouette-edge pixel decisions are unchanged.
+    dx = (top_left[0] + xs * cam.right[0] - ys * cam.up[0]) - cam.position[0]
+    dy = (top_left[1] + xs * cam.right[1] - ys * cam.up[1]) - cam.position[1]
+    dz = (top_left[2] + xs * cam.right[2] - ys * cam.up[2]) - cam.position[2]
+    nrm = jnp.sqrt(dx * dx + dy * dy + dz * dz)
+    d = jnp.stack([dx / nrm, dy / nrm, dz / nrm], axis=-1)
     o = jnp.broadcast_to(cam.position, (n, 3))
     return o, d
 
@@ -114,19 +120,8 @@ def generate_rays(cam: Camera) -> Tuple[jnp.ndarray, jnp.ndarray]:
 
     Returns ``(origins [N,3], directions [N,3])`` with ``N = H*W`` flattened
     row-major (x + y*W — the reference framebuffer index,
-    RayTracingSetup.cs:243-245). Directions are unit.
+    RayTracingSetup.cs:243-245). Directions are unit. Same arithmetic as
+    ``generate_rays_blocks`` (bs=1 is row-major order), so images match
+    bitwise across lane orders.
     """
-    w, h = cam.width, cam.height
-    center = cam.position + cam.forward * cam.dist
-    top_left = center - cam.right * cam.half_h + cam.up * cam.half_v
-
-    xs = (jnp.arange(w, dtype=jnp.float32) + 0.5) * (2.0 * cam.half_h / w)
-    ys = (jnp.arange(h, dtype=jnp.float32) + 0.5) * (2.0 * cam.half_v / h)
-    # pixel_pos[y, x] = top_left + xs[x]*right - ys[y]*up
-    pix = (top_left[None, None, :]
-           + xs[None, :, None] * cam.right[None, None, :]
-           - ys[:, None, None] * cam.up[None, None, :])        # [H,W,3]
-    d = pix - cam.position[None, None, :]
-    d = d / jnp.linalg.norm(d, axis=-1, keepdims=True)
-    o = jnp.broadcast_to(cam.position, (h, w, 3))
-    return o.reshape(-1, 3), d.reshape(-1, 3)
+    return generate_rays_blocks(cam, 1)

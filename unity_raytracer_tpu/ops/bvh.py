@@ -132,6 +132,15 @@ class MeshBVH:
     prim_index: jnp.ndarray  # [M] leaf-order -> original MeshSet row
     leaf_size: int = dataclasses.field(
         metadata=dict(static=True), default=LEAF_SIZE)
+    # True when prepare_bvh canonicalized triangle winding so the shading
+    # normal is re-derivable in the traversal epilogue as
+    # ``-normalize(cross(v2-v0, v1-v0))`` (the reference bake convention,
+    # SceneMesh.cs:43) — avoiding a [N]-ray gather from the [M]-row
+    # normal table per segment. Swapping v1/v2 never changes the
+    # intersection set (Moller-Trumbore is winding-symmetric here: no
+    # backface cull, |det| test only).
+    canonical: bool = dataclasses.field(
+        metadata=dict(static=True), default=False)
 
     @property
     def n_nodes(self) -> int:
@@ -382,13 +391,27 @@ def _mt_one(o, d, v0, v1, v2):
     return jnp.where(miss, INF, t)
 
 
+def shading_normal(tri: jnp.ndarray) -> jnp.ndarray:
+    """Reference mesh-bake shading normal from gathered tri verts [N,3,3]:
+    ``-normalize(cross(v2-v0, v1-v0))`` (SceneMesh.cs:43 flip convention;
+    winding canonicalized by prepare_bvh). Junk on miss lanes — mask it."""
+    e1 = tri[:, 2] - tri[:, 0]
+    e2 = tri[:, 1] - tri[:, 0]
+    nml = -jnp.cross(e1, e2)
+    return nml * jax.lax.rsqrt(
+        jnp.maximum(jnp.sum(nml * nml, axis=-1, keepdims=True), 1e-60))
+
+
 def traverse(bvh: MeshBVH, o: jnp.ndarray, d: jnp.ndarray,
              t_max: jnp.ndarray | None = None,
              any_hit: bool = False
-             ) -> Tuple[jnp.ndarray, jnp.ndarray]:
+             ) -> Tuple[jnp.ndarray, jnp.ndarray, jnp.ndarray]:
     """Nearest mesh-triangle hit via threaded-BVH traversal.
 
-    Returns ``(t [N], original_prim_index [N])`` with +inf / -1 on miss.
+    Returns ``(t [N], original_prim_index [N], shading_normal [N,3])``
+    with +inf / -1 / junk on miss. The normal is re-derived from the
+    winning triangle's verts (one cross product on data the t re-derivation
+    already gathered) — meaningful only when ``bvh.canonical``.
     ``t_max`` optionally seeds the cull distance (shadow queries pass the
     light distance so far subtrees prune immediately); a negative ``t_max``
     culls the lane entirely. ``any_hit`` finishes a lane at its first
@@ -456,7 +479,19 @@ def traverse(bvh: MeshBVH, o: jnp.ndarray, d: jnp.ndarray,
     hit = best_i >= 0
     t_out = jnp.where(hit, jnp.where(jnp.isfinite(t_diff), t_diff, best_t),
                       jnp.inf)
-    return t_out, orig.astype(jnp.int32)
+    return t_out, orig.astype(jnp.int32), shading_normal(tri)
+
+
+def canonical_winding(verts: np.ndarray, normals: np.ndarray) -> np.ndarray:
+    """Swap v1/v2 of triangles whose derived normal opposes the stored
+    shading normal, so ``shading_normal`` (the -cross bake convention,
+    SceneMesh.cs:43) reproduces the stored normals without a per-ray
+    gather. The swap is intersection-invariant (see MeshBVH.canonical)."""
+    v = np.array(verts, np.float32, copy=True)
+    nc = -np.cross(v[:, 2] - v[:, 0], v[:, 1] - v[:, 0])
+    flip = np.sum(nc * np.asarray(normals, np.float32), axis=-1) < 0.0
+    v[flip] = v[flip][:, [0, 2, 1]]
+    return v
 
 
 def prepare_bvh(scene, cfg):
@@ -464,29 +499,51 @@ def prepare_bvh(scene, cfg):
 
     'pallas' kernels get a PackedBVH (leaf_size=PALLAS_LEAF row layout);
     'xla' gets a plain MeshBVH. Call host-side on a concrete scene.
+    Triangle winding is canonicalized against the scene's stored shading
+    normals so the traversal epilogue re-derives normals for free.
     """
     kernel = cfg.kernel
     if kernel == "auto":
         kernel = "xla" if jax.default_backend() == "cpu" else "pallas"
-    if kernel.startswith("pallas"):
+    verts = canonical_winding(np.asarray(scene.meshes.verts),
+                              np.asarray(scene.meshes.normals))
+    if kernel.startswith("pallas") or kernel == "mega":
         from unity_raytracer_tpu.ops.pallas.traverse_mk3 import (
             PALLAS_LEAF, pack_rows)
-        b = build(np.asarray(scene.meshes.verts),
-                  np.asarray(scene.meshes.valid), leaf_size=PALLAS_LEAF)
-        return pack_rows(b)
-    return build(np.asarray(scene.meshes.verts),
-                 np.asarray(scene.meshes.valid))
+        b = build(verts, np.asarray(scene.meshes.valid),
+                  leaf_size=PALLAS_LEAF)
+        packed = pack_rows(dataclasses.replace(b, canonical=True))
+        # per-leaf-slot combined-material id (sphere ++ loose ++ mesh
+        # table order, matching ops/pallas/mega.build_aux) for the fused
+        # segment megakernel
+        s_cnt = scene.spheres.count
+        t_cnt = scene.triangles.count
+        lp = np.asarray(packed.leaf_prim)
+        prim = np.asarray(b.prim_index)
+        mid = np.asarray(scene.meshes.mesh_id)
+        matid = s_cnt + t_cnt + mid[prim[np.clip(lp, 0, None)]]
+        leafmeta = np.zeros((lp.shape[0], 16), np.float32)
+        leafmeta[:, : lp.shape[1]] = matid.astype(np.float32)
+        return packed._replace(leafmeta=jnp.asarray(leafmeta))
+    b = build(verts, np.asarray(scene.meshes.valid))
+    return dataclasses.replace(b, canonical=True)
 
 
 def traverse_any(bvh: MeshBVH, o: jnp.ndarray, d: jnp.ndarray,
                  t_max: jnp.ndarray | None = None,
                  kernel: str = "auto",
-                 any_hit: bool = False) -> Tuple[jnp.ndarray, jnp.ndarray]:
-    """Backend-dispatching traversal.
+                 any_hit: bool = False
+                 ) -> Tuple[jnp.ndarray, jnp.ndarray, jnp.ndarray]:
+    """Backend-dispatching traversal -> (t, prim index, shading normal).
 
     kernel: 'xla' (per-lane lockstep while_loop, works everywhere),
-    'pallas' (packet megakernel, ops/pallas/traverse_mk.py — TPU),
-    'auto' (pallas on TPU backends, xla on CPU).
+    'pallas' (ordered packet kernel, ops/pallas/traverse_mk4 — TPU),
+    'pallas3' (threaded-order packet kernel, traverse_mk3 — TPU),
+    'auto' (pallas on TPU backends, xla on CPU). Pallas kernels need the
+    PackedBVH row layout (prepare_bvh); a bare MeshBVH always takes the
+    XLA path. (Historical: a per-row kernel `traverse_mk` and a
+    dynamic-lane variant `traverse_mk2` were retired — see docs/KERNELS.md
+    for the measured negative results.)
     ``any_hit`` (occlusion queries): lanes finish at the first occluder
     closer than ``t_max``; a negative ``t_max`` culls a lane outright.
     """
@@ -494,6 +551,8 @@ def traverse_any(bvh: MeshBVH, o: jnp.ndarray, d: jnp.ndarray,
         PackedBVH, traverse_packet3)
     if kernel == "auto":
         kernel = "xla" if jax.default_backend() == "cpu" else "pallas"
+    if kernel == "mega":
+        kernel = "pallas"  # composed-path fallback for megakernel configs
     if isinstance(bvh, PackedBVH):
         if kernel == "xla":
             return traverse(bvh.bvh, o, d, t_max=t_max, any_hit=any_hit)
@@ -503,9 +562,4 @@ def traverse_any(bvh: MeshBVH, o: jnp.ndarray, d: jnp.ndarray,
         from unity_raytracer_tpu.ops.pallas.traverse_mk4 import (
             traverse_packet4)
         return traverse_packet4(bvh, o, d, t_max=t_max, any_hit=any_hit)
-    if kernel == "pallas":
-        # pre-packed row layout (traverse_mk3) is preferred on TPU; a bare
-        # MeshBVH falls back to the small-scene packet kernel
-        from unity_raytracer_tpu.ops.pallas.traverse_mk import traverse_packet
-        return traverse_packet(bvh, o, d, t_max=t_max)
     return traverse(bvh, o, d, t_max=t_max, any_hit=any_hit)

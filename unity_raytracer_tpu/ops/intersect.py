@@ -20,7 +20,7 @@ from __future__ import annotations
 
 import dataclasses
 from dataclasses import dataclass
-from typing import Tuple
+from typing import Optional, Tuple
 
 import jax
 import jax.numpy as jnp
@@ -47,6 +47,11 @@ class Hit:
     kind: jnp.ndarray     # [N] int32 category code
     index: jnp.ndarray    # [N] int32 primitive index within category
     mesh_index: jnp.ndarray  # [N] int32 mesh id for mesh hits, else -1
+    # shading normal for mesh hits, re-derived in the BVH traversal
+    # epilogue from the winning triangle's (already gathered) verts —
+    # None on the brute-force path, where shading gathers from the
+    # normal table instead (ops/shade.surface_attributes)
+    mesh_n: Optional[jnp.ndarray] = None  # [N,3] or None
 
     @property
     def is_hit(self) -> jnp.ndarray:
@@ -210,17 +215,33 @@ def nearest_hit(scene, o: jnp.ndarray, d: jnp.ndarray, bvh=None,
     inside the box the gate passes for every ray that could hit anything).
     """
     n = o.shape[0]
+    mesh_n = None
     if bvh is None:
-        t_mesh, i_mesh = _best(ray_triangles(o, d, scene.meshes.verts,
-                                             scene.meshes.valid))
+        if ((kernel.startswith("pallas") or kernel == "mega")
+                and scene.meshes.verts.shape[0] >= 2048):
+            # big mesh, no BVH: the fused brute-force megakernel avoids
+            # materializing the [N, M] t-matrix in HBM
+            from unity_raytracer_tpu.ops.pallas.intersect_mk import (
+                nearest_triangle_pallas)
+            t_mesh, i_mesh = nearest_triangle_pallas(
+                o, d, scene.meshes.verts, scene.meshes.valid)
+            i_mesh = jnp.clip(i_mesh, 0, None)
+        else:
+            t_mesh, i_mesh = _best(ray_triangles(o, d, scene.meshes.verts,
+                                                 scene.meshes.valid))
     else:
         from unity_raytracer_tpu.ops.bvh import traverse_any
         # t_max < 0 culls dead lanes from the packet union (bounce chains
         # pass -1 for retired rays); it does not change live-lane results
-        t_mesh, i_mesh = traverse_any(bvh, o, d, kernel=kernel,
-                                      t_max=jax.lax.stop_gradient(t_max)
-                                      if t_max is not None else None)
+        t_mesh, i_mesh, nml = traverse_any(
+            bvh, o, d, kernel=kernel,
+            t_max=jax.lax.stop_gradient(t_max)
+            if t_max is not None else None)
         i_mesh = jnp.clip(i_mesh, 0, None)  # downstream masks on kind
+        canonical = bvh.bvh.canonical if hasattr(bvh, "bvh") \
+            else bvh.canonical
+        if canonical:
+            mesh_n = nml
     t_sph, i_sph = _best(ray_spheres(o, d, scene.spheres.centers,
                                      scene.spheres.radius_sq,
                                      scene.spheres.valid))
@@ -249,4 +270,4 @@ def nearest_hit(scene, o: jnp.ndarray, d: jnp.ndarray, bvh=None,
         jnp.take(scene.meshes.mesh_id, jnp.clip(index, 0, None)),
         jnp.int32(-1))
     return Hit(t=t, kind=kind, index=index,
-               mesh_index=mesh_index.astype(jnp.int32))
+               mesh_index=mesh_index.astype(jnp.int32), mesh_n=mesh_n)

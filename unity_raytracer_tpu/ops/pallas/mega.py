@@ -1,0 +1,596 @@
+"""Fused bounce-segment megakernel (mk5): one Pallas launch per segment.
+
+The composed path issues, per bounce segment, one nearest-hit traversal
+launch + one L-light shadow launch and round-trips hit records, surface
+attributes, and [N,L] lighting tensors through HBM/XLA between them. This
+kernel fuses the ENTIRE segment per 1024-ray tile:
+
+  nearest mesh hit (ordered packet traversal, traverse_mk4 order)
+  + brute sphere / loose-triangle tests (reference combine order,
+    Scene.IntersectRay, Data/Objects/Scene.cs:64-115)
+  + scene-AABB mask (Scene.cs:54)
+  + winning-primitive shading normal and material resolved IN the
+    traversal loop (scalar per-slot data, masked vector updates — no
+    per-lane dynamic gathers, which Mosaic cannot do)
+  + per-light shadow occlusion via an embedded any-hit traversal over
+    the same VMEM-resident BVH rows (threaded order — ordering buys
+    nothing for any-hit) plus sphere/tri occluders
+  + Blinn-Phong direct lighting (RayTracingSetup.cs:324-455 semantics,
+    0-255 Rgb radiance scale)
+  + mirror continuation (Reflect, :368-373)
+
+All-dead tiles (every lane ``t_max < 0``) write pass-through outputs and
+skip everything — the bounce chain's tail segments cost one predicate
+per tile.
+
+This is the HARD forward path only: temps must be 0 (no soft gradients)
+and mode 'scan' (mirror chain). The differentiable path stays on the
+composed kernels. Parity: bitwise vs the composed pallas path is NOT
+guaranteed (different op order in shading sums); tests assert allclose.
+
+Scene constants ride in a packed ``aux [rows,128]`` f32 block (static
+row/lane indices -> immediate scalar loads):
+
+  row 0:            aabb_min(0:3) aabb_max(3:6) ambient(6:9) bg(9:12)
+  rows lights:      pos(0:3) intensity(3:6) valid(6)
+  rows spheres:     center(0:3) r2(3) valid(4) matid(5)
+  rows loose tris:  v0 v1 v2 (0:9) normal(9:12) valid(12) matid(13)
+  rows materials:   diffuse(0:3) ambient(3:6) mirror(6:9) specular(9:12)
+                    phong(12) is_mirror(13)
+
+Mesh-triangle material ids are packed per leaf slot in
+``PackedBVH.leafmeta [n_leaves, 16]`` (prepare_bvh), and shading normals
+are re-derived from the slot verts (canonical winding — bvh.shading_normal
+convention), so the kernel needs no per-lane gathers at all.
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Tuple
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+from unity_raytracer_tpu.ops.pallas.traverse_mk3 import (
+    _BIG, EPS, PALLAS_LEAF, TILE_R, PackedBVH)
+from unity_raytracer_tpu.ops.pallas.traverse_mk4 import STACK
+
+SHADOW_EPS = 1e-4  # ShadowRayEpsilon, RayTracingSetup.cs:42
+
+
+def _kernel(depth_ref,
+            ox_ref, oy_ref, oz_ref, dx_ref, dy_ref, dz_ref, tmax_ref,
+            tr_ref, tg_ref, tb_ref,
+            nodes_ref, tris_ref, leafmeta_ref, aux_ref,
+            dr_ref, dg_ref, db_ref,
+            oxo_ref, oyo_ref, ozo_ref, dxo_ref, dyo_ref, dzo_ref,
+            tmo_ref, tro_ref, tgo_ref, tbo_ref,
+            stack_ref, stack_tn_ref,
+            *, n_lights: int, n_spheres: int, n_tris: int, n_mats: int,
+            max_bounces: int):
+    live_in = tmax_ref[:] >= 0.0
+
+    # pass-through defaults (overwritten when the tile has live lanes)
+    dr_ref[:] = jnp.zeros((TILE_R,), jnp.float32)
+    dg_ref[:] = jnp.zeros((TILE_R,), jnp.float32)
+    db_ref[:] = jnp.zeros((TILE_R,), jnp.float32)
+    oxo_ref[:] = ox_ref[:]
+    oyo_ref[:] = oy_ref[:]
+    ozo_ref[:] = oz_ref[:]
+    dxo_ref[:] = dx_ref[:]
+    dyo_ref[:] = dy_ref[:]
+    dzo_ref[:] = dz_ref[:]
+    tmo_ref[:] = jnp.full((TILE_R,), -1.0, jnp.float32)
+    tro_ref[:] = tr_ref[:]
+    tgo_ref[:] = tg_ref[:]
+    tbo_ref[:] = tb_ref[:]
+
+    @pl.when(jnp.any(live_in))
+    def _tile():
+        ox, oy, oz = ox_ref[:], oy_ref[:], oz_ref[:]
+        dx, dy, dz = dx_ref[:], dy_ref[:], dz_ref[:]
+
+        tiny = 1e-30
+        fix = lambda v: jnp.where(jnp.abs(v) < tiny,
+                                  jnp.where(v < 0, -tiny, tiny), v)
+        inv_dx = 1.0 / fix(dx)
+        inv_dy = 1.0 / fix(dy)
+        inv_dz = 1.0 / fix(dz)
+
+        def slab(lx, ly, lz, hx, hy, hz, best_t):
+            t1 = (lx - ox) * inv_dx
+            t2 = (hx - ox) * inv_dx
+            tn = jnp.minimum(t1, t2)
+            tf = jnp.maximum(t1, t2)
+            t1 = (ly - oy) * inv_dy
+            t2 = (hy - oy) * inv_dy
+            tn = jnp.maximum(tn, jnp.minimum(t1, t2))
+            tf = jnp.minimum(tf, jnp.maximum(t1, t2))
+            t1 = (lz - oz) * inv_dz
+            t2 = (hz - oz) * inv_dz
+            tn = jnp.maximum(tn, jnp.minimum(t1, t2))
+            tf = jnp.minimum(tf, jnp.maximum(t1, t2))
+            tn = jnp.maximum(tn, 0.0)
+            return (tn <= tf) & (tn <= best_t), tn
+
+        def box_test(row, best_t):
+            hit, tn = slab(nodes_ref[row, 0], nodes_ref[row, 1],
+                           nodes_ref[row, 2], nodes_ref[row, 3],
+                           nodes_ref[row, 4], nodes_ref[row, 5], best_t)
+            tn_min = jnp.min(jnp.where(hit, tn, _BIG))
+            return jnp.any(hit), tn_min
+
+        def mt(v0x, v0y, v0z, v1x, v1y, v1z, v2x, v2y, v2z):
+            """Moller-Trumbore vs one scalar triangle -> (ok, t)."""
+            e1x, e1y, e1z = v1x - v0x, v1y - v0y, v1z - v0z
+            e2x, e2y, e2z = v2x - v0x, v2y - v0y, v2z - v0z
+            px = dy * e2z - dz * e2y
+            py = dz * e2x - dx * e2z
+            pz = dx * e2y - dy * e2x
+            det = e1x * px + e1y * py + e1z * pz
+            par = jnp.abs(det) < EPS
+            f = 1.0 / jnp.where(par, 1.0, det)
+            sx, sy, sz = ox - v0x, oy - v0y, oz - v0z
+            u = f * (sx * px + sy * py + sz * pz)
+            qx = sy * e1z - sz * e1y
+            qy = sz * e1x - sx * e1z
+            qz = sx * e1y - sy * e1x
+            v = f * (dx * qx + dy * qy + dz * qz)
+            t = f * (e2x * qx + e2y * qy + e2z * qz)
+            ok = (~par & (u >= 0.0) & (u <= 1.0) & (v >= 0.0)
+                  & (u + v <= 1.0) & (t > EPS))
+            return ok, t
+
+        def tri_normal(v0x, v0y, v0z, v1x, v1y, v1z, v2x, v2y, v2z):
+            """Scalar bake-convention shading normal: -norm(cross(
+            v2-v0, v1-v0)) (SceneMesh.cs:43; winding canonicalized)."""
+            e1x, e1y, e1z = v2x - v0x, v2y - v0y, v2z - v0z
+            e2x, e2y, e2z = v1x - v0x, v1y - v0y, v1z - v0z
+            cx = e1y * e2z - e1z * e2y
+            cy = e1z * e2x - e1x * e2z
+            cz = e1x * e2y - e1y * e2x
+            inv = -jax.lax.rsqrt(
+                jnp.maximum(cx * cx + cy * cy + cz * cz, 1e-60))
+            return cx * inv, cy * inv, cz * inv
+
+        # ---- nearest mesh hit: ordered descent (traverse_mk4) ----------
+        def near_body(c):
+            cursor, sp, best_t, bnx, bny, bnz, bmat = c
+            any_lane, _ = box_test(cursor, best_t)
+            leaf_row = nodes_ref[cursor, 6].astype(jnp.int32)
+            count = nodes_ref[cursor, 7].astype(jnp.int32)
+            right = nodes_ref[cursor, 9].astype(jnp.int32)
+            is_leaf = count > 0
+
+            def leaf_tests(args):
+                best_t, bnx, bny, bnz, bmat = args
+                for k in range(PALLAS_LEAF):
+                    b = 9 * k
+                    vs = tuple(tris_ref[leaf_row, b + j] for j in range(9))
+                    ok, t = mt(*vs)
+                    upd = ok & (k < count) & (t < best_t)
+                    nx, ny, nz = tri_normal(*vs)
+                    mid = leafmeta_ref[leaf_row, k]
+                    best_t = jnp.where(upd, t, best_t)
+                    bnx = jnp.where(upd, nx, bnx)
+                    bny = jnp.where(upd, ny, bny)
+                    bnz = jnp.where(upd, nz, bnz)
+                    bmat = jnp.where(upd, mid, bmat)
+                return best_t, bnx, bny, bnz, bmat
+
+            best_t, bnx, bny, bnz, bmat = jax.lax.cond(
+                is_leaf & any_lane, leaf_tests, lambda a: a,
+                (best_t, bnx, bny, bnz, bmat))
+
+            expand = any_lane & ~is_leaf
+            left = cursor + 1
+            safe_r = jnp.maximum(right, 0)
+            hit_l, tn_l = box_test(left, best_t)
+            hit_r, tn_r = box_test(safe_r, best_t)
+            hit_l = hit_l & expand
+            hit_r = hit_r & expand & (right >= 0)
+            l_first = jnp.where(hit_l & hit_r, tn_l <= tn_r, hit_l)
+            near = jnp.where(l_first, left, safe_r)
+            far = jnp.where(l_first, safe_r, left)
+            far_tn = jnp.where(l_first, tn_r, tn_l)
+            both = hit_l & hit_r
+            descend = both | (hit_l ^ hit_r)
+
+            @pl.when(both)
+            def _():
+                stack_ref[sp] = far
+                stack_tn_ref[sp] = far_tn
+            sp = jnp.where(both, sp + 1, sp)
+
+            cur_max = jnp.max(best_t)
+
+            def pop_cond(s):
+                sp_, cur_ = s
+                stale = stack_tn_ref[jnp.maximum(sp_ - 1, 0)] > cur_max
+                return (cur_ < 0) & (sp_ > 0) & stale
+
+            cursor = jnp.where(descend, near, -1)
+            sp, cursor = jax.lax.while_loop(
+                pop_cond, lambda s: (s[0] - 1, s[1]), (sp, cursor))
+            do_pop = (cursor < 0) & (sp > 0)
+            cursor = jnp.where(do_pop,
+                               stack_ref[jnp.maximum(sp - 1, 0)], cursor)
+            sp = jnp.where(do_pop, sp - 1, sp)
+            return cursor, sp, best_t, bnx, bny, bnz, bmat
+
+        zeros = jnp.zeros((TILE_R,), jnp.float32)
+        best_t0 = jnp.where(live_in, _BIG, -1.0)
+        _, _, best_t, bnx, bny, bnz, bmat = jax.lax.while_loop(
+            lambda c: c[0] >= 0, near_body,
+            (jnp.int32(0), jnp.int32(0), best_t0, zeros, zeros, zeros,
+             jnp.full((TILE_R,), -1.0, jnp.float32)))
+
+        # ---- spheres then loose triangles (reference combine order,
+        #      strict > update: Scene.cs:94,107) -------------------------
+        for s in range(n_spheres):
+            r = 1 + n_lights + s
+            cx_s = aux_ref[r, 0]
+            cy_s = aux_ref[r, 1]
+            cz_s = aux_ref[r, 2]
+            r2 = aux_ref[r, 3]
+            svalid = aux_ref[r, 4] > 0.0
+            smat = aux_ref[r, 5]
+            ocx, ocy, ocz = ox - cx_s, oy - cy_s, oz - cz_s
+            uoc = dx * ocx + dy * ocy + dz * ocz
+            oc2 = ocx * ocx + ocy * ocy + ocz * ocz
+            disc = uoc * uoc - (oc2 - r2)
+            sq = jnp.sqrt(jnp.maximum(disc, 0.0))
+            big = -uoc + sq
+            small = -uoc - sq
+            t_s = jnp.where(small < 0.0, big, small)
+            ok = (disc >= 0.0) & (big >= 0.0) & svalid
+            upd = ok & (best_t > t_s)
+            # sphere normal (p - c)/r, |p - c| = r exactly at the hit
+            rinv = jax.lax.rsqrt(jnp.maximum(r2, 1e-60))
+            px = ox + dx * t_s - cx_s
+            py = oy + dy * t_s - cy_s
+            pz = oz + dz * t_s - cz_s
+            best_t = jnp.where(upd, t_s, best_t)
+            bnx = jnp.where(upd, px * rinv, bnx)
+            bny = jnp.where(upd, py * rinv, bny)
+            bnz = jnp.where(upd, pz * rinv, bnz)
+            bmat = jnp.where(upd, smat, bmat)
+
+        for tt in range(n_tris):
+            r = 1 + n_lights + n_spheres + tt
+            vs = tuple(aux_ref[r, j] for j in range(9))
+            ok, t_t = mt(*vs)
+            tvalid = aux_ref[r, 12] > 0.0
+            upd = ok & tvalid & (best_t > t_t)
+            best_t = jnp.where(upd, t_t, best_t)
+            bnx = jnp.where(upd, aux_ref[r, 9], bnx)
+            bny = jnp.where(upd, aux_ref[r, 10], bny)
+            bnz = jnp.where(upd, aux_ref[r, 11], bnz)
+            bmat = jnp.where(upd, aux_ref[r, 13], bmat)
+
+        # scene-AABB early-out mask (Scene.cs:54)
+        in_box, _ = slab(aux_ref[0, 0], aux_ref[0, 1], aux_ref[0, 2],
+                         aux_ref[0, 3], aux_ref[0, 4], aux_ref[0, 5],
+                         jnp.full((TILE_R,), _BIG, jnp.float32))
+        hit = live_in & in_box & (best_t < _BIG) & (best_t >= 0.0)
+
+        # ---- material select (static unroll over the combined table) ---
+        mbase = 1 + n_lights + n_spheres + n_tris
+        mfields = [zeros] * 14
+        for m in range(n_mats):
+            sel = bmat == m
+            for j in range(14):
+                mfields[j] = jnp.where(sel, aux_ref[mbase + m, j],
+                                       mfields[j])
+        (kd_r, kd_g, kd_b, ka_r, ka_g, ka_b, km_r, km_g, km_b,
+         ks_r, ks_g, ks_b, phong, is_mir_f) = mfields
+
+        t_safe = jnp.where(hit, best_t, 1.0)
+        px = ox + dx * t_safe
+        py = oy + dy * t_safe
+        pz = oz + dz * t_safe
+
+        # ---- direct lighting ------------------------------------------
+        amb_r, amb_g, amb_b = aux_ref[0, 6], aux_ref[0, 7], aux_ref[0, 8]
+        col_r = ka_r * amb_r
+        col_g = ka_g * amb_g
+        col_b = ka_b * amb_b
+
+        for l in range(n_lights):
+            r = 1 + l
+            lx_, ly_, lz_ = aux_ref[r, 0], aux_ref[r, 1], aux_ref[r, 2]
+            ir_, ig_, ib_ = aux_ref[r, 3], aux_ref[r, 4], aux_ref[r, 5]
+            lvalid = aux_ref[r, 6] > 0.0
+            lvx, lvy, lvz = lx_ - px, ly_ - py, lz_ - pz
+            ld2 = lvx * lvx + lvy * lvy + lvz * lvz
+            ldist = jnp.sqrt(ld2)
+            linv = jax.lax.rsqrt(jnp.maximum(ld2, 1e-60))
+            ldx, ldy, ldz = lvx * linv, lvy * linv, lvz * linv
+            ln = ldx * bnx + ldy * bny + ldz * bnz
+            need = hit & (ln >= 0.0) & lvalid
+
+            # shadow ray from p + n*eps toward the light (:330-333)
+            sx = px + bnx * SHADOW_EPS
+            sy = py + bny * SHADOW_EPS
+            sz = pz + bnz * SHADOW_EPS
+            occ = _occluded(nodes_ref, tris_ref, aux_ref, sx, sy, sz,
+                            ldx, ldy, ldz, jnp.where(need, ldist, -1.0),
+                            n_lights, n_spheres, n_tris)
+
+            irr = 1.0 / jnp.maximum(ld2, 1e-60)   # Intensity/d^2 (:350)
+            lit = need & ~occ
+            w = jnp.where(lit, irr, 0.0)
+            dterm = jnp.maximum(0.0, ln) * w      # (:443-455)
+            col_r += kd_r * dterm * ir_
+            col_g += kd_g * dterm * ig_
+            col_b += kd_b * dterm * ib_
+
+            # Blinn-Phong specular, halfway (l + v)/|.| with v = -d
+            hx_, hy_, hz_ = ldx - dx, ldy - dy, ldz - dz
+            hinv = jax.lax.rsqrt(jnp.maximum(
+                hx_ * hx_ + hy_ * hy_ + hz_ * hz_, 1e-60))
+            nh = jnp.maximum(
+                0.0, bnx * hx_ * hinv + bny * hy_ * hinv
+                + bnz * hz_ * hinv)
+            sterm = jnp.where(nh > 0.0,
+                              jnp.exp(phong * jnp.log(
+                                  jnp.maximum(nh, 1e-30))), 0.0) * w
+            col_r += ks_r * sterm * ir_
+            col_g += ks_g * sterm * ig_
+            col_b += ks_b * sterm * ib_
+
+        bg_r, bg_g, bg_b = aux_ref[0, 9], aux_ref[0, 10], aux_ref[0, 11]
+        out_r = jnp.where(hit, col_r, bg_r)
+        out_g = jnp.where(hit, col_g, bg_g)
+        out_b = jnp.where(hit, col_b, bg_b)
+
+        thr_r, thg, thb = tr_ref[:], tg_ref[:], tb_ref[:]
+        livef = live_in.astype(jnp.float32)
+        dr_ref[:] = thr_r * out_r * livef
+        dg_ref[:] = thg * out_g * livef
+        db_ref[:] = thb * out_b * livef
+
+        # ---- mirror continuation (:358-373) ----------------------------
+        depth = depth_ref[0]
+        cont = live_in & hit & (is_mir_f > 0.0) & (depth < max_bounces)
+        ddn = dx * bnx + dy * bny + dz * bnz
+        rdx = dx - 2.0 * bnx * ddn
+        rdy = dy - 2.0 * bny * ddn
+        rdz = dz - 2.0 * bnz * ddn
+        oxo_ref[:] = px + bnx * SHADOW_EPS
+        oyo_ref[:] = py + bny * SHADOW_EPS
+        ozo_ref[:] = pz + bnz * SHADOW_EPS
+        dxo_ref[:] = jnp.where(cont, rdx, dx)
+        dyo_ref[:] = jnp.where(cont, rdy, dy)
+        dzo_ref[:] = jnp.where(cont, rdz, dz)
+        tmo_ref[:] = jnp.where(cont, _BIG, -1.0)
+        tro_ref[:] = jnp.where(cont, thr_r * km_r, thr_r)
+        tgo_ref[:] = jnp.where(cont, thg * km_g, thg)
+        tbo_ref[:] = jnp.where(cont, thb * km_b, thb)
+
+
+def _occluded(nodes_ref, tris_ref, aux_ref, sx, sy, sz, ldx, ldy, ldz,
+              tmax, n_lights, n_spheres, n_tris):
+    """Embedded any-hit occlusion query (threaded traversal order).
+
+    ``tmax`` is the light distance per lane, -1 for lanes that need no
+    query. Returns a bool mask: some primitive with t < tmax (strictly:
+    t^2 < dist^2 like RayTracingSetup.cs:337-345 — equal since both
+    positive). Includes the scene-AABB gate the reference's shadow query
+    inherits from IntersectRay.
+    """
+    tiny = 1e-30
+    fix = lambda v: jnp.where(jnp.abs(v) < tiny,
+                              jnp.where(v < 0, -tiny, tiny), v)
+    inv_x = 1.0 / fix(ldx)
+    inv_y = 1.0 / fix(ldy)
+    inv_z = 1.0 / fix(ldz)
+
+    def slab(lx, ly, lz, hx, hy, hz, best_t):
+        t1 = (lx - sx) * inv_x
+        t2 = (hx - sx) * inv_x
+        tn = jnp.minimum(t1, t2)
+        tf = jnp.maximum(t1, t2)
+        t1 = (ly - sy) * inv_y
+        t2 = (hy - sy) * inv_y
+        tn = jnp.maximum(tn, jnp.minimum(t1, t2))
+        tf = jnp.minimum(tf, jnp.maximum(t1, t2))
+        t1 = (lz - sz) * inv_z
+        t2 = (hz - sz) * inv_z
+        tn = jnp.maximum(tn, jnp.minimum(t1, t2))
+        tf = jnp.minimum(tf, jnp.maximum(t1, t2))
+        tn = jnp.maximum(tn, 0.0)
+        return (tn <= tf) & (tn <= best_t)
+
+    def mt(v0x, v0y, v0z, v1x, v1y, v1z, v2x, v2y, v2z):
+        e1x, e1y, e1z = v1x - v0x, v1y - v0y, v1z - v0z
+        e2x, e2y, e2z = v2x - v0x, v2y - v0y, v2z - v0z
+        px_ = ldy * e2z - ldz * e2y
+        py_ = ldz * e2x - ldx * e2z
+        pz_ = ldx * e2y - ldy * e2x
+        det = e1x * px_ + e1y * py_ + e1z * pz_
+        par = jnp.abs(det) < EPS
+        f = 1.0 / jnp.where(par, 1.0, det)
+        qx_, qy_, qz_ = sx - v0x, sy - v0y, sz - v0z
+        u = f * (qx_ * px_ + qy_ * py_ + qz_ * pz_)
+        cx_ = qy_ * e1z - qz_ * e1y
+        cy_ = qz_ * e1x - qx_ * e1z
+        cz_ = qx_ * e1y - qy_ * e1x
+        v = f * (ldx * cx_ + ldy * cy_ + ldz * cz_)
+        t = f * (e2x * cx_ + e2y * cy_ + e2z * cz_)
+        ok = (~par & (u >= 0.0) & (u <= 1.0) & (v >= 0.0)
+              & (u + v <= 1.0) & (t > EPS))
+        return ok, t
+
+    in_box = slab(aux_ref[0, 0], aux_ref[0, 1], aux_ref[0, 2],
+                  aux_ref[0, 3], aux_ref[0, 4], aux_ref[0, 5],
+                  jnp.full(sx.shape, _BIG, jnp.float32))
+    best0 = jnp.where(in_box, tmax, -1.0)
+
+    # spheres + loose tris first (cheap, may retire lanes before the walk)
+    best = best0
+    for s in range(n_spheres):
+        r = 1 + n_lights + s
+        ocx = sx - aux_ref[r, 0]
+        ocy = sy - aux_ref[r, 1]
+        ocz = sz - aux_ref[r, 2]
+        r2 = aux_ref[r, 3]
+        svalid = aux_ref[r, 4] > 0.0
+        uoc = ldx * ocx + ldy * ocy + ldz * ocz
+        oc2 = ocx * ocx + ocy * ocy + ocz * ocz
+        disc = uoc * uoc - (oc2 - r2)
+        sq = jnp.sqrt(jnp.maximum(disc, 0.0))
+        big = -uoc + sq
+        small = -uoc - sq
+        t_s = jnp.where(small < 0.0, big, small)
+        ok = (disc >= 0.0) & (big >= 0.0) & svalid
+        best = jnp.where(ok & (t_s < best), -1.0, best)
+    for tt in range(n_tris):
+        r = 1 + n_lights + n_spheres + tt
+        ok, t_t = mt(*tuple(aux_ref[r, j] for j in range(9)))
+        ok = ok & (aux_ref[r, 12] > 0.0)
+        best = jnp.where(ok & (t_t < best), -1.0, best)
+
+    def body(c):
+        cursor, best = c
+        lane_hit = slab(nodes_ref[cursor, 0], nodes_ref[cursor, 1],
+                        nodes_ref[cursor, 2], nodes_ref[cursor, 3],
+                        nodes_ref[cursor, 4], nodes_ref[cursor, 5], best)
+        any_lane = jnp.any(lane_hit)
+        leaf_row = nodes_ref[cursor, 6].astype(jnp.int32)
+        count = nodes_ref[cursor, 7].astype(jnp.int32)
+        miss = nodes_ref[cursor, 8].astype(jnp.int32)
+        is_leaf = count > 0
+
+        def leaf_tests(best):
+            for k in range(PALLAS_LEAF):
+                b = 9 * k
+                ok, t = mt(*tuple(tris_ref[leaf_row, b + j]
+                                  for j in range(9)))
+                best = jnp.where(ok & (k < count) & (t < best), -1.0,
+                                 best)
+            return best
+
+        best = jax.lax.cond(is_leaf & any_lane, leaf_tests,
+                            lambda b: b, best)
+        cursor = jnp.where(any_lane & ~is_leaf, cursor + 1, miss)
+        return cursor, best
+
+    def cond(c):
+        return (c[0] >= 0) & jnp.any(c[1] > 0.0)
+
+    _, best = jax.lax.while_loop(cond, body, (jnp.int32(0), best))
+    return (best < 0.0) & (best0 > 0.0)
+
+
+def build_aux(scene, background) -> jnp.ndarray:
+    """Pack scene constants into the [rows,128] aux block (see module
+    docstring). jnp ops — safe under jit with a traced scene."""
+    L = scene.lights.positions.shape[0]
+    S = scene.spheres.count
+    T = scene.triangles.count
+
+    def row(*vals):
+        v = jnp.concatenate(
+            [jnp.atleast_1d(jnp.asarray(x, jnp.float32)).ravel()
+             for x in vals])
+        return jnp.pad(v, (0, 128 - v.shape[0]))
+
+    bg = jnp.asarray(background, jnp.float32) * 255.0
+    rows = [row(scene.aabb_min, scene.aabb_max, scene.lights.ambient, bg)]
+    for l in range(L):
+        rows.append(row(scene.lights.positions[l],
+                        scene.lights.intensities[l],
+                        scene.lights.valid[l].astype(jnp.float32)))
+    for s in range(S):
+        rows.append(row(scene.spheres.centers[s],
+                        scene.spheres.radius_sq[s],
+                        scene.spheres.valid[s].astype(jnp.float32),
+                        jnp.float32(s)))
+    for t in range(T):
+        rows.append(row(scene.triangles.verts[t].ravel(),
+                        scene.triangles.normals[t],
+                        scene.triangles.valid[t].astype(jnp.float32),
+                        jnp.float32(S + t)))
+    mats = [(scene.spheres.materials, S), (scene.triangles.materials, T),
+            (scene.meshes.mesh_materials, scene.meshes.mesh_count)]
+    for m, cnt in mats:
+        for i in range(cnt):
+            rows.append(row(m.diffuse[i], m.ambient[i], m.mirror[i],
+                            m.specular[i], m.phong[i],
+                            m.is_mirror[i].astype(jnp.float32)))
+    return jnp.stack(rows, axis=0)
+
+
+def trace_segment(packed: PackedBVH, aux: jnp.ndarray, depth: jnp.ndarray,
+                  o: jnp.ndarray, d: jnp.ndarray, thr: jnp.ndarray,
+                  tmax: jnp.ndarray, *, n_lights: int, n_spheres: int,
+                  n_tris: int, max_bounces: int, interpret: bool = False):
+    """One fused bounce segment over all rays.
+
+    Returns ``(delta [N,3], o' [N,3], d' [N,3], thr' [N,3], tmax' [N])``:
+    radiance contribution (throughput-weighted, 0-255 scale) and the
+    continuation rays (``tmax' < 0`` = retired).
+    """
+    if packed.leafmeta is None:
+        raise ValueError("PackedBVH.leafmeta missing — build the BVH via "
+                         "prepare_bvh for the megakernel path")
+    n = o.shape[0]
+    n_pad = (-n) % TILE_R
+    pad1 = lambda x, v: (jnp.concatenate(
+        [x, jnp.full((n_pad,), v, x.dtype)]) if n_pad else x)
+    ox = pad1(o[:, 0], 0.0)
+    oy = pad1(o[:, 1], 0.0)
+    oz = pad1(o[:, 2], 0.0)
+    dx = pad1(d[:, 0], 0.0)
+    dy = pad1(d[:, 1], 0.0)
+    dz = pad1(d[:, 2], 1.0)
+    tm = pad1(jnp.minimum(tmax, _BIG), -1.0)
+    tr = pad1(thr[:, 0], 0.0)
+    tg = pad1(thr[:, 1], 0.0)
+    tb = pad1(thr[:, 2], 0.0)
+    total = ox.shape[0]
+    n_mats = aux.shape[0] - (1 + n_lights + n_spheres + n_tris)
+
+    grid = (total // TILE_R,)
+    tile = pl.BlockSpec((TILE_R,), lambda i: (i,), memory_space=pltpu.VMEM)
+    rep = lambda *shape: pl.BlockSpec(
+        shape, (lambda i: tuple(0 for _ in shape)),
+        memory_space=pltpu.VMEM)
+    smem1 = pl.BlockSpec(memory_space=pltpu.SMEM)
+
+    outs = pl.pallas_call(
+        functools.partial(_kernel, n_lights=n_lights, n_spheres=n_spheres,
+                          n_tris=n_tris, n_mats=n_mats,
+                          max_bounces=max_bounces),
+        grid=grid,
+        in_specs=[smem1,
+                  tile, tile, tile, tile, tile, tile, tile,
+                  tile, tile, tile,
+                  rep(*packed.nodes.shape), rep(*packed.tris.shape),
+                  rep(*packed.leafmeta.shape), rep(*aux.shape)],
+        out_specs=tuple([tile] * 13),
+        out_shape=tuple([jax.ShapeDtypeStruct((total,), jnp.float32)] * 13),
+        scratch_shapes=[pltpu.SMEM((STACK,), jnp.int32),
+                        pltpu.SMEM((STACK,), jnp.float32)],
+        # resident blocks total ~21MB with 128-lane padding (nodes 10.7 +
+        # tris 5.3 + leafmeta 5.3): above Mosaic's conservative 16MB
+        # default scoped-vmem limit, well under the chip's physical VMEM
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=100 * 1024 * 1024),
+        interpret=interpret,
+    )(jnp.asarray(depth, jnp.int32).reshape(1), ox, oy, oz, dx, dy, dz,
+      tm, tr, tg, tb, packed.nodes, packed.tris, packed.leafmeta, aux)
+
+    (dr, dg, db, oxo, oyo, ozo, dxo, dyo, dzo, tmo, tro, tgo, tbo) = outs
+    cut = lambda x: x[:n]
+    delta = jnp.stack([cut(dr), cut(dg), cut(db)], axis=-1)
+    o2 = jnp.stack([cut(oxo), cut(oyo), cut(ozo)], axis=-1)
+    d2 = jnp.stack([cut(dxo), cut(dyo), cut(dzo)], axis=-1)
+    thr2 = jnp.stack([cut(tro), cut(tgo), cut(tbo)], axis=-1)
+    return (jax.lax.stop_gradient(delta), jax.lax.stop_gradient(o2),
+            jax.lax.stop_gradient(d2), jax.lax.stop_gradient(thr2),
+            jax.lax.stop_gradient(cut(tmo)))

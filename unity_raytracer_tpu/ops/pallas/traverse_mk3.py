@@ -43,6 +43,10 @@ class PackedBVH(NamedTuple):
     tris: jnp.ndarray       # [n_leaves, 128] f32
     leaf_prim: jnp.ndarray  # [n_leaves, 14] i32 leaf slot -> leaf-order row
     bvh: MeshBVH            # original (for prim_index / tri_verts)
+    # [n_leaves, 16] f32 combined-material-table id per leaf slot (exact
+    # small ints) — consumed by the fused segment megakernel
+    # (ops/pallas/mega.py); built by ops/bvh.prepare_bvh (needs the scene)
+    leafmeta: jnp.ndarray | None = None
 
 
 def pack_rows(bvh: MeshBVH) -> PackedBVH:
@@ -211,7 +215,7 @@ def traverse_packet3(packed: PackedBVH, o: jnp.ndarray, d: jnp.ndarray,
                      t_max: jnp.ndarray | None = None,
                      interpret: bool = False,
                      any_hit: bool = False
-                     ) -> Tuple[jnp.ndarray, jnp.ndarray]:
+                     ) -> Tuple[jnp.ndarray, jnp.ndarray, jnp.ndarray]:
     """Nearest (or any) mesh hit via the packed-row kernel.
 
     Returns ``(t [N], original MeshSet row [N])``, +inf / -1 on miss; t is
@@ -272,10 +276,10 @@ def traverse_packet3(packed: PackedBVH, o: jnp.ndarray, d: jnp.ndarray,
         -1)
     orig = jnp.where(hit, jnp.take(bvh.prim_index,
                                    jnp.clip(row, 0, None)), -1)
-    from unity_raytracer_tpu.ops.bvh import _mt_one
+    from unity_raytracer_tpu.ops.bvh import _mt_one, shading_normal
     tri = jnp.take(bvh.tri_verts, jnp.clip(row, 0, None), axis=0)
     t_diff = _mt_one(o[:n], d[:n], tri[:, 0], tri[:, 1], tri[:, 2])
     t_final = jnp.where(hit,
                         jnp.where(jnp.isfinite(t_diff), t_diff, t_out),
                         jnp.inf)
-    return t_final, orig.astype(jnp.int32)
+    return t_final, orig.astype(jnp.int32), shading_normal(tri)

@@ -189,7 +189,7 @@ def traverse_packet4(packed: PackedBVH, o: jnp.ndarray, d: jnp.ndarray,
                      t_max: jnp.ndarray | None = None,
                      interpret: bool = False,
                      any_hit: bool = False
-                     ) -> Tuple[jnp.ndarray, jnp.ndarray]:
+                     ) -> Tuple[jnp.ndarray, jnp.ndarray, jnp.ndarray]:
     """Ordered-traversal twin of traverse_mk3.traverse_packet3."""
     bvh = packed.bvh
     n = o.shape[0]
@@ -243,10 +243,10 @@ def traverse_packet4(packed: PackedBVH, o: jnp.ndarray, d: jnp.ndarray,
         -1)
     orig = jnp.where(hit, jnp.take(bvh.prim_index,
                                    jnp.clip(row, 0, None)), -1)
-    from unity_raytracer_tpu.ops.bvh import _mt_one
+    from unity_raytracer_tpu.ops.bvh import _mt_one, shading_normal
     tri = jnp.take(bvh.tri_verts, jnp.clip(row, 0, None), axis=0)
     t_diff = _mt_one(o[:n], d[:n], tri[:, 0], tri[:, 1], tri[:, 2])
     t_final = jnp.where(hit,
                         jnp.where(jnp.isfinite(t_diff), t_diff, t_out),
                         jnp.inf)
-    return t_final, orig.astype(jnp.int32)
+    return t_final, orig.astype(jnp.int32), shading_normal(tri)

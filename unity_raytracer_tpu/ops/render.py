@@ -69,7 +69,7 @@ def _local_radiance(scene: Scene, o, d, cfg: RenderConfig,
             t=jnp.where(use_proxy, take(t_close_mat), hit.t),
             kind=jnp.where(use_proxy, KIND_SPHERE, hit.kind),
             index=jnp.where(use_proxy, j, hit.index),
-            mesh_index=hit.mesh_index)
+            mesh_index=hit.mesh_index, mesh_n=hit.mesh_n)
         shade_mask = hit_mask | use_proxy
         # winner margin: sphere hits use their own margin (relaxes the
         # sphere's own silhouette); non-sphere hits stay hard (+inf)
@@ -106,6 +106,49 @@ def _local_radiance(scene: Scene, o, d, cfg: RenderConfig,
     return (out, n_shadow) if with_stats else out
 
 
+def _trace_chain_mega(scene: Scene, o: jnp.ndarray, d: jnp.ndarray,
+                      cfg: RenderConfig, bvh) -> jnp.ndarray:
+    """Bounce chain on the fused segment megakernel (ops/pallas/mega.py):
+    nearest hit + shadows + shading + mirror continuation in ONE Pallas
+    launch per segment, with all-dead tiles exiting at a single predicate.
+    Hard forward path only (temps 0); parity vs the composed path is
+    asserted in tests/test_mega.py."""
+    import jax as _jax
+
+    from unity_raytracer_tpu.ops.pallas.mega import (
+        build_aux, trace_segment)
+
+    n_rays = o.shape[0]
+    aux = build_aux(scene, cfg.background)
+    kw = dict(n_lights=scene.lights.positions.shape[0],
+              n_spheres=scene.spheres.count,
+              n_tris=scene.triangles.count,
+              max_bounces=cfg.max_bounces,
+              interpret=_jax.default_backend() == "cpu")
+
+    acc0 = jnp.zeros((n_rays, 3), jnp.float32)
+    thr0 = jnp.ones((n_rays, 3), jnp.float32)
+    tmax0 = jnp.full((n_rays,), 3.0e38, jnp.float32)
+
+    def bounce(carry, depth):
+        o, d, thr, tmax, acc = carry
+
+        def live_seg(args):
+            o, d, thr, tmax, acc = args
+            delta, o2, d2, thr2, tm2 = trace_segment(
+                bvh, aux, depth, o, d, thr, tmax, **kw)
+            return o2, d2, thr2, tm2, acc + delta
+
+        carry = jax.lax.cond(jnp.any(tmax >= 0.0), live_seg,
+                             lambda a: a, (o, d, thr, tmax, acc))
+        return carry, None
+
+    (_, _, _, _, acc), _ = jax.lax.scan(
+        bounce, (o, d, thr0, tmax0, acc0),
+        jnp.arange(cfg.max_bounces + 1), unroll=1)
+    return acc
+
+
 def _trace_chain(scene: Scene, o: jnp.ndarray, d: jnp.ndarray,
                  cfg: RenderConfig, bvh=None,
                  with_stats: bool = False) -> jnp.ndarray:
@@ -133,6 +176,12 @@ def _trace_chain(scene: Scene, o: jnp.ndarray, d: jnp.ndarray,
     ``with_stats`` additionally returns ``(live [B], shadow_live [B])`` lane
     counts per segment — the honest-ray-accounting inputs for bench.py.
     """
+    if (cfg.kernel == "mega" and not with_stats and bvh is not None
+            and getattr(bvh, "leafmeta", None) is not None
+            and cfg.diff.soft_hit_temp == 0.0
+            and cfg.diff.soft_shadow_temp == 0.0):
+        return _trace_chain_mega(scene, o, d, cfg, bvh)
+
     n_rays = o.shape[0]
     acc0 = jnp.zeros((n_rays, 3), jnp.float32)
     thr0 = jnp.ones((n_rays, 3), jnp.float32)
@@ -345,27 +394,39 @@ def render(scene: Scene, cam: Camera, cfg: RenderConfig,
     ``cfg.use_bvh`` and none was passed, and jit-runs the block-ordered
     frame — chunked over rays if ``cfg.ray_chunk`` bounds the working set.
     """
-    from unity_raytracer_tpu.utils.swizzle import unswizzle_image
     cfg = resolve_mode(scene, cfg)
     if cfg.use_bvh and bvh is None:
         from unity_raytracer_tpu.ops import bvh as bvhmod
         bvh = bvhmod.prepare_bvh(scene, cfg)
     n = cam.width * cam.height
     if cfg.ray_chunk and cfg.ray_chunk < n:
-        o, d = generate_rays_blocks(cam, cfg.block_size)
-        total = o.shape[0]
-        c = cfg.ray_chunk
-        pad = (-total) % c
-        if pad:
-            o = jnp.concatenate([o, jnp.zeros((pad, 3), o.dtype)
-                                 .at[:, 2].set(1.0)], axis=0)
-            d = jnp.concatenate([d, jnp.zeros((pad, 3), d.dtype)
-                                 .at[:, 2].set(1.0)], axis=0)
-        oc = o.reshape(-1, c, 3)
-        dc = d.reshape(-1, c, 3)
-        rad = jax.lax.map(
-            lambda od: trace_radiance(scene, od[0], od[1], cfg, bvh=bvh),
-            (oc, dc)).reshape(-1, 3)[:total]
-        img = unswizzle_image(rad, cam.width, cam.height, cfg.block_size)
-        return img / 255.0
+        return _frame_chunked(scene, cam, cfg, bvh)
     return _frame_core(scene, cam, cfg, bvh)
+
+
+@partial(jax.jit, static_argnames=("cfg",))
+def _frame_chunked(scene: Scene, cam: Camera, cfg: RenderConfig,
+                   bvh=None) -> jnp.ndarray:
+    """Chunked frame (bounded working set): lax.map over ray chunks.
+
+    One jit like _frame_core — raygen compiles in the same context both
+    ways, so chunked and unchunked images agree to FP-reassociation
+    noise (tested at rtol 1e-6 in practice).
+    """
+    from unity_raytracer_tpu.utils.swizzle import unswizzle_image
+    o, d = generate_rays_blocks(cam, cfg.block_size)
+    total = o.shape[0]
+    c = cfg.ray_chunk
+    pad = (-total) % c
+    if pad:
+        o = jnp.concatenate([o, jnp.zeros((pad, 3), o.dtype)
+                             .at[:, 2].set(1.0)], axis=0)
+        d = jnp.concatenate([d, jnp.zeros((pad, 3), d.dtype)
+                             .at[:, 2].set(1.0)], axis=0)
+    oc = o.reshape(-1, c, 3)
+    dc = d.reshape(-1, c, 3)
+    rad = jax.lax.map(
+        lambda od: trace_radiance(scene, od[0], od[1], cfg, bvh=bvh),
+        (oc, dc)).reshape(-1, 3)[:total]
+    img = unswizzle_image(rad, cam.width, cam.height, cfg.block_size)
+    return img / 255.0

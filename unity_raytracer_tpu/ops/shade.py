@@ -76,8 +76,13 @@ def surface_attributes(scene: Scene, p: jnp.ndarray,
         jnp.maximum(jnp.sum(sn * sn, axis=-1, keepdims=True), 1e-60))
 
     tn = take_rows(scene.triangles.normals, jnp.clip(idx, 0, t_cnt - 1))
-    mn = jnp.take(scene.meshes.normals,
-                  jnp.clip(idx, 0, scene.meshes.count - 1), axis=0)
+    if hit.mesh_n is not None:
+        # re-derived in the BVH traversal epilogue (bvh.shading_normal) —
+        # no gather from the [M]-row normal table needed
+        mn = hit.mesh_n
+    else:
+        mn = jnp.take(scene.meshes.normals,
+                      jnp.clip(idx, 0, scene.meshes.count - 1), axis=0)
 
     n = _sel3(is_s, sn, _sel3(is_m, mn, tn))
 
@@ -128,8 +133,8 @@ def shadow_min_t(scene: Scene, o: jnp.ndarray, d: jnp.ndarray,
                                   scene.meshes.valid).min(axis=1)
     else:
         from unity_raytracer_tpu.ops.bvh import traverse_any
-        t_m, _ = traverse_any(bvh, o, d, t_max=t_max, kernel=kernel,
-                              any_hit=any_hit)
+        t_m, _, _ = traverse_any(bvh, o, d, t_max=t_max, kernel=kernel,
+                                 any_hit=any_hit)
     t_s = isect.ray_spheres(o, d, scene.spheres.centers,
                             scene.spheres.radius_sq, scene.spheres.valid)
     t_t = isect.ray_triangles(o, d, scene.triangles.verts, scene.triangles.valid)

@@ -15,6 +15,7 @@ from typing import Callable, Dict, List, Optional, Tuple
 
 import numpy as np
 
+import jax
 import jax.numpy as jnp
 
 from unity_raytracer_tpu.models.camera import Camera, generate_rays
@@ -48,7 +49,9 @@ def render_tiled_orchestrated(
     trace = trace_fn or (lambda s, o, d, c, b: trace_radiance(s, o, d, c,
                                                               bvh=b))
     h, w = cam.height, cam.width
-    o, d = generate_rays(cam)
+    # jit so raygen arithmetic compiles (FMA contraction) exactly like the
+    # whole-frame path — eager op-by-op raygen drifts ~3e-6 vs render()
+    o, d = jax.jit(generate_rays)(cam)
     o = o.reshape(h, w, 3)
     d = d.reshape(h, w, 3)
 

@@ -51,9 +51,14 @@ def unswizzle_image(rad, width: int, height: int, bs: int):
     if bs <= 1:
         return rad.reshape(height, width, c)
     wp, hp = padded_dims(width, height, bs)
-    img = rad.reshape(hp // bs, wp // bs, bs, bs, c)
-    img = jnp.transpose(img, (0, 2, 1, 3, 4)).reshape(hp, wp, c)
-    return img[:height, :width]
+    # per-channel 4-d transposes: a 5-d transpose with a size-3 minor axis
+    # pays the 128-lane padding tax on TPU; [Hb,bs,Wb,bs] relayouts don't
+    chans = [
+        jnp.transpose(rad[:, k].reshape(hp // bs, wp // bs, bs, bs),
+                      (0, 2, 1, 3)).reshape(hp, wp)
+        for k in range(c)
+    ]
+    return jnp.stack(chans, axis=-1)[:height, :width]
 
 
 @functools.lru_cache(maxsize=32)
