@@ -1,16 +1,35 @@
 """Benchmark harness — flagship: rays/s/chip, 1080p, depth-4, 100k-tri BVH.
 
-Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"}.
+Prints ONE JSON line to stdout:
+  {"metric", "value", "unit", "vs_baseline",
+   "rays_per_s_fwd", "rays_per_s_fwd_bwd", "rays_per_s_live",
+   "frame_s", "grad_s", "fraction_of_roofline", ...}
 The reference publishes no numbers (BASELINE.md) — vs_baseline is measured
 against the north-star target of 1e9 rays/s/chip.
 
-Ray accounting (what "a ray" is): every traced scene query — primary rays,
-mirror-bounce continuations, and shadow rays (pixels * segments * (1 +
-lights) in the worst case, discounted by how many lanes are still active is
-NOT attempted: we count issued queries, the standard wavefront accounting).
+Ray accounting (two numbers, both reported):
+* issued — pixels * segments * (1 + lights): every query slot the
+  wavefront issues, live or not (the headline; standard accounting and
+  what vs_baseline uses).
+* live — the sum of actually-live nearest + shadow query lanes per
+  segment (measured by trace_radiance_stats); after bounce 0 most lanes
+  are retired, so this is the honest "useful rays" number.
+
+Timing methodology: min over repeats, each rep synced by
+jax.block_until_ready plus a 4-BYTE scalar probe — np.asarray on the
+full image would drag 25MB through the remote-TPU tunnel (~0.8s,
+measured) and pollute the numbers.
+
+fwd+bwd: jax.value_and_grad of a pixel-MSE against a fixed target
+through the differentiable composed path (kernel='pallas' packet
+traversal; the megakernel is forward-only) w.r.t. sphere centers,
+sphere diffuse, and light intensities — the inverse-rendering parameter
+classes (fit.py). Residuals for the bounce-chain scan are stored, not
+rematerialized (~1.2GB at 1080p; v5e HBM holds it comfortably).
 
 Usage: python bench.py [--preset mesh100k] [--width W --height H]
-                       [--repeats N] [--no-bvh] [--all]
+                       [--repeats N] [--no-bvh] [--no-grad] [--all]
+                       [--kernel mega|pallas|pallas3|xla]
 """
 
 import argparse
@@ -21,17 +40,14 @@ import time
 import numpy as np
 
 
-def count_rays(cfg, width, height, n_lights):
-    """Issued scene queries per frame for the linear chain renderer."""
+def count_rays(max_bounces, width, height, n_lights):
+    """Issued query slots per frame for the linear chain renderer."""
     pixels = width * height
-    segments = cfg.max_bounces + 1
-    # per segment: 1 nearest-hit query + n_lights shadow queries
+    segments = max_bounces + 1
     return pixels * segments * (1 + n_lights)
 
 
 def _enable_compile_cache():
-    """Persistent XLA compilation cache: first round pays the (remote)
-    compile, later rounds reuse the serialized executable."""
     import jax
     try:
         jax.config.update("jax_compilation_cache_dir", "/root/.jax_cache")
@@ -41,14 +57,35 @@ def _enable_compile_cache():
         print(f"[bench] compile cache unavailable: {e}", file=sys.stderr)
 
 
-def run_once(name="mesh100k", width=None, height=None, repeats=3,
-             use_bvh=True, max_bounces=None):
+def _timed(fn, repeats=3):
     import jax
 
+    def sync(out):
+        out = jax.block_until_ready(out)
+        return float(jax.tree.leaves(out)[0].ravel()[0])
+
+    t0 = time.perf_counter()
+    sync(fn())
+    compile_s = time.perf_counter() - t0
+    times = []
+    for _ in range(repeats):
+        t0 = time.perf_counter()
+        sync(fn())
+        times.append(time.perf_counter() - t0)
+    return compile_s, min(times)
+
+
+def run_once(name="mesh100k", width=None, height=None, repeats=3,
+             use_bvh=True, max_bounces=None, kernel=None, grad=True):
+    import jax
+    import jax.numpy as jnp
+
+    from unity_raytracer_tpu.models.camera import generate_rays_blocks
     from unity_raytracer_tpu.models.presets import get_preset
-    from unity_raytracer_tpu.models.camera import generate_rays
     from unity_raytracer_tpu.ops import bvh as bvhmod
-    from unity_raytracer_tpu.ops.render import resolve_mode, trace_radiance
+    from unity_raytracer_tpu.ops.render import (
+        render_frame, resolve_mode, trace_radiance, trace_radiance_stats)
+    from unity_raytracer_tpu.utils import profiling
 
     kw = {}
     if width:
@@ -60,35 +97,79 @@ def run_once(name="mesh100k", width=None, height=None, repeats=3,
     if max_bounces is not None:
         cfg = cfg.with_(max_bounces=max_bounces)
 
+    on_tpu = jax.default_backend() != "cpu"
+    has_mesh = int(np.asarray(scene.meshes.valid).sum()) > 0
+    if kernel is None:
+        # megakernel: TPU + BVH + hard mirror chain only
+        kernel = ("mega" if (on_tpu and use_bvh and has_mesh
+                             and cfg.mode == "scan") else cfg.kernel)
+    cfg = cfg.with_(kernel=kernel)
+
     bvh = None
-    if use_bvh and int(np.asarray(scene.meshes.valid).sum()) > 0:
+    build_s = 0.0
+    if use_bvh and has_mesh:
         t0 = time.perf_counter()
         bvh = bvhmod.prepare_bvh(scene, cfg)
         build_s = time.perf_counter() - t0
-    else:
-        build_s = 0.0
 
-    o, d = generate_rays(cam)
-
-    def frame():
-        return trace_radiance(scene, o, d, cfg, bvh=bvh)
-
-    # compile
-    t0 = time.perf_counter()
-    out = frame()
-    jax.block_until_ready(out)
-    compile_s = time.perf_counter() - t0
-
-    times = []
-    for _ in range(repeats):
-        t0 = time.perf_counter()
-        out = frame()
-        jax.block_until_ready(out)
-        times.append(time.perf_counter() - t0)
-    best = min(times)
+    # ---- forward ----------------------------------------------------------
+    compile_s, frame_s = _timed(
+        lambda: render_frame(scene, cam, cfg, bvh=bvh), repeats)
 
     n_lights = int(np.asarray(scene.lights.valid).sum())
-    rays = count_rays(cfg, cam.width, cam.height, n_lights)
+    issued = count_rays(cfg.max_bounces, cam.width, cam.height, n_lights)
+    fwd = issued / frame_s
+
+    # ---- live-lane accounting (composed stats path, not timed) ------------
+    live_rays = None
+    if cfg.mode == "scan":
+        try:
+            cfg_stats = cfg.with_(
+                kernel="pallas" if kernel == "mega" else kernel)
+            o, d = generate_rays_blocks(cam, cfg_stats.block_size)
+            _, (live, shadow) = jax.block_until_ready(
+                trace_radiance_stats(scene, o, d, cfg_stats, bvh=bvh))
+            live_rays = int(np.asarray(live).sum()
+                            + np.asarray(shadow).sum())
+        except Exception as e:
+            print(f"[bench] stats failed: {e}", file=sys.stderr)
+
+    # ---- fwd+bwd ----------------------------------------------------------
+    grad_s = None
+    fwd_bwd = None
+    if grad:
+        try:
+            from unity_raytracer_tpu.fit import get_params, set_params
+            cfg_g = cfg.with_(
+                kernel="pallas" if kernel == "mega" else kernel)
+            names = ("sphere_centers", "sphere_diffuse",
+                     "light_intensities")
+            params0 = get_params(scene, names)
+            o, d = generate_rays_blocks(cam, cfg_g.block_size)
+            target = jax.lax.stop_gradient(
+                trace_radiance(scene, o, d, cfg_g, bvh=bvh))
+
+            def loss_fn(params):
+                s = set_params(scene, params)
+                rad = trace_radiance(s, o, d, cfg_g, bvh=bvh)
+                return jnp.mean((rad - target) ** 2)
+
+            vg = jax.jit(jax.value_and_grad(loss_fn))
+            gc, grad_s = _timed(lambda: vg(params0),
+                                max(1, repeats - 1))
+            fwd_bwd = issued / grad_s
+            print(json.dumps({"grad_compile_s": round(gc, 1)}),
+                  file=sys.stderr)
+        except Exception as e:
+            print(f"[bench] grad bench failed: {e}", file=sys.stderr)
+
+    # ---- roofline ---------------------------------------------------------
+    # The megakernel's only HBM traffic is per-lane ray state: ~23 f32
+    # streams per segment-lane (10 in + 13 out); scene/BVH blocks are
+    # VMEM-resident. Per issued query that is 23*4 / (1+L) bytes.
+    bytes_per_ray = 23.0 * 4.0 / (1 + n_lights)
+    roof = profiling.roofline(fwd, bytes_per_ray)
+
     return {
         "preset": name,
         "width": cam.width,
@@ -96,14 +177,77 @@ def run_once(name="mesh100k", width=None, height=None, repeats=3,
         "depth": cfg.max_bounces,
         "lights": n_lights,
         "mesh_tris": int(np.asarray(scene.meshes.valid).sum()),
+        "kernel": kernel,
         "use_bvh": bvh is not None,
         "bvh_build_s": round(build_s, 3),
         "compile_s": round(compile_s, 2),
-        "frame_s": best,
-        "rays": rays,
-        "rays_per_s": rays / best,
+        "frame_s": frame_s,
+        "grad_s": grad_s,
+        "rays_issued": issued,
+        "rays_live": live_rays,
+        "rays_per_s_fwd": fwd,
+        "rays_per_s_fwd_bwd": fwd_bwd,
+        "rays_per_s_live": (live_rays / frame_s) if live_rays else None,
+        "fraction_of_roofline": roof["fraction_of_roofline"],
+        "hbm_bound_rays_per_s": roof["hbm_bound_rays_per_s"],
         "device": str(jax.devices()[0]),
     }
+
+
+def run_sharded(name="mesh10k", width=None, height=None, repeats=2,
+                counts=(1, 2, 4, 8)):
+    """Scaling harness: rays/s vs device count on the available mesh
+    (real chips on a pod slice; virtual CPU devices with --virtual N).
+
+    Emits one JSON record per device count with efficiency relative to
+    the 1-device run — the BASELINE ">=85% 1 chip -> N" measurement
+    harness. (On virtual CPU devices the numbers prove the harness and
+    sharding, not real scaling.) Call parallel.bootstrap.maybe_initialize
+    first on multi-host deployments.
+    """
+    import jax
+
+    from unity_raytracer_tpu.models.presets import get_preset
+    from unity_raytracer_tpu.ops import bvh as bvhmod
+    from unity_raytracer_tpu.ops.render import resolve_mode
+    from unity_raytracer_tpu.parallel import mesh as meshmod
+    from unity_raytracer_tpu.parallel import shard as shardmod
+    from unity_raytracer_tpu.parallel.bootstrap import maybe_initialize
+
+    maybe_initialize()
+    kw = {}
+    if width:
+        kw["width"] = width
+    if height:
+        kw["height"] = height
+    scene, cam, cfg = get_preset(name, **kw)
+    cfg = resolve_mode(scene, cfg.with_(
+        kernel="xla" if jax.default_backend() == "cpu" else cfg.kernel))
+    bvh = bvhmod.prepare_bvh(scene, cfg) if cfg.use_bvh else None
+
+    devices = jax.devices()
+    issued = count_rays(cfg.max_bounces, cam.width, cam.height,
+                        int(np.asarray(scene.lights.valid).sum()))
+    rows = []
+    base = None
+    for n in [c for c in counts if c <= len(devices)]:
+        mesh = meshmod.make_mesh((n, 1), devices=devices[:n])
+        c, t = _timed(lambda: shardmod.render_tiled(scene, cam, cfg,
+                                                    mesh, bvh=bvh),
+                      repeats)
+        rps = issued / t
+        if base is None:
+            base = rps
+        row = {"devices": n, "frame_s": t, "rays_per_s": rps,
+               "efficiency": rps / (base * n), "compile_s": round(c, 2)}
+        rows.append(row)
+        print(json.dumps(row), file=sys.stderr)
+    return {"metric": f"scaling_efficiency_{name}",
+            "value": rows[-1]["efficiency"] if rows else 0.0,
+            "unit": "fraction",
+            "vs_baseline": (rows[-1]["efficiency"] / 0.85) if rows else 0.0,
+            "table": rows,
+            "backend": jax.default_backend()}
 
 
 def main():
@@ -113,32 +257,64 @@ def main():
     ap.add_argument("--height", type=int, default=None)
     ap.add_argument("--repeats", type=int, default=3)
     ap.add_argument("--no-bvh", action="store_true")
+    ap.add_argument("--no-grad", action="store_true")
+    ap.add_argument("--kernel", default=None)
     ap.add_argument("--all", action="store_true",
                     help="also time the other presets (to stderr)")
+    ap.add_argument("--sharded", action="store_true",
+                    help="scaling table over device counts instead of "
+                         "the flagship single-chip run")
+    ap.add_argument("--virtual", type=int, default=0,
+                    help="force N virtual CPU devices (scaling harness "
+                         "without a pod slice)")
     args = ap.parse_args()
+    if args.virtual:
+        import os
+        os.environ["XLA_FLAGS"] = (
+            os.environ.get("XLA_FLAGS", "")
+            + f" --xla_force_host_platform_device_count={args.virtual}")
+        import jax
+        jax.config.update("jax_platforms", "cpu")
     _enable_compile_cache()
+
+    if args.sharded:
+        preset = args.preset if args.preset != "mesh100k" or not \
+            args.virtual else "mesh10k"
+        out = run_sharded(preset, width=args.width, height=args.height,
+                          repeats=max(1, args.repeats - 1))
+        print(json.dumps(out))
+        return
 
     if args.all:
         for p in ["three_spheres", "cornell_box", "mesh10k"]:
             try:
-                r = run_once(p, repeats=max(1, args.repeats - 1))
+                r = run_once(p, repeats=max(1, args.repeats - 1),
+                             grad=False)
                 print(json.dumps(r), file=sys.stderr)
             except Exception as e:  # keep flagship result flowing
                 print(f"[bench] {p} failed: {e}", file=sys.stderr)
 
     r = run_once(args.preset, width=args.width, height=args.height,
-                 repeats=args.repeats, use_bvh=not args.no_bvh)
-    print(json.dumps({k: v for k, v in r.items()
-                      if k not in ("rays_per_s",)}), file=sys.stderr)
+                 repeats=args.repeats, use_bvh=not args.no_bvh,
+                 kernel=args.kernel, grad=not args.no_grad)
+    print(json.dumps(r), file=sys.stderr)
 
     target = 1e9  # north-star rays/s/chip (BASELINE.md)
-    print(json.dumps({
+    out = {
         "metric": "rays_per_s_per_chip_fwd_1080p_d4_100k_bvh"
         if args.preset == "mesh100k" else f"rays_per_s_{args.preset}",
-        "value": r["rays_per_s"],
+        "value": r["rays_per_s_fwd"],
         "unit": "rays/s",
-        "vs_baseline": r["rays_per_s"] / target,
-    }))
+        "vs_baseline": r["rays_per_s_fwd"] / target,
+        "rays_per_s_fwd": r["rays_per_s_fwd"],
+        "rays_per_s_fwd_bwd": r["rays_per_s_fwd_bwd"],
+        "rays_per_s_live": r["rays_per_s_live"],
+        "frame_s": r["frame_s"],
+        "grad_s": r["grad_s"],
+        "fraction_of_roofline": r["fraction_of_roofline"],
+        "kernel": r["kernel"],
+    }
+    print(json.dumps(out))
 
 
 if __name__ == "__main__":

@@ -22,6 +22,9 @@ OUT.mkdir(parents=True, exist_ok=True)
 
 CASES = [
     ("reference_demo", reference_demo, 32, 32),
+    # the reference scene at its NATIVE 50x50 resolution
+    # (Demo-RayTracing/RayTracing.unity:346-352)
+    ("reference_demo_native", reference_demo, 50, 50),
     ("three_spheres", three_spheres, 32, 32),
     ("cornell_box", cornell_box, 24, 24),
 ]

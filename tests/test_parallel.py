@@ -73,6 +73,90 @@ def test_scene_sharded_hit_matches(mesh42):
                                   np.asarray(ref.mesh_index))
 
 
+def test_render_tiled_bvh_matches(mesh8):
+    """Config-5 shape under shard_map: BVH traversal (XLA kernel) inside
+    the tile-sharded renderer must match the single-device image."""
+    from unity_raytracer_tpu.ops import bvh as bvhmod
+
+    scene, cam, cfg = mesh_scene(100, width=16, height=16)
+    cfg = resolve_mode(scene, cfg.with_(use_bvh=True, kernel="xla"))
+    bvh = bvhmod.prepare_bvh(scene, cfg)
+    ref = np.asarray(render(scene, cam, cfg, bvh=bvh))
+    out = np.asarray(shardmod.render_tiled(scene, cam, cfg, mesh8,
+                                           bvh=bvh))
+    np.testing.assert_allclose(out, ref, rtol=1e-6, atol=1e-6)
+
+
+def test_render_tiled_pallas_interpret_matches(mesh8):
+    """The REAL packet kernel (mk4, Pallas interpreter on CPU) under
+    shard_map — the flagship distributed path end to end."""
+    from unity_raytracer_tpu.ops import bvh as bvhmod
+
+    scene, cam, cfg = mesh_scene(100, width=16, height=16)
+    cfg = resolve_mode(scene, cfg.with_(use_bvh=True, kernel="pallas",
+                                        max_bounces=1))
+    packed = bvhmod.prepare_bvh(scene, cfg)
+    ref = np.asarray(render(scene, cam, cfg.with_(kernel="xla"),
+                            bvh=packed))
+    out = np.asarray(shardmod.render_tiled(scene, cam, cfg, mesh8,
+                                           bvh=packed))
+    np.testing.assert_allclose(out, ref, rtol=1e-5, atol=1e-5)
+
+
+def test_scene_sharded_non_replication(mesh42):
+    """The TP regime's point: the [M]-row mesh arrays exist ONLY as
+    shards. The replicated operand carries 1-row dummies and a placed
+    scene holds M/tp rows per device."""
+    scene, cam, cfg = mesh_scene(100, width=8, height=8)
+    rest = shardmod._rest_scene(scene)
+    assert rest.meshes.verts.shape == (1, 3, 3)
+    assert rest.meshes.normals.shape == (1, 3)
+    assert rest.meshes.valid.shape == (1,)
+    placed = shardmod.shard_scene_mesh_tris(scene, mesh42)
+    m = scene.meshes.count
+    for s in placed.meshes.verts.addressable_shards:
+        assert s.data.shape[0] == m // 2, s.data.shape
+
+
+def test_scene_sharded_normal_carry(mesh42):
+    """The winner shard carries its stored shading normal across the
+    combine — shading needs no global [M] normal table."""
+    scene, cam, cfg = mesh_scene(100, width=16, height=16)
+    o, d = generate_rays(cam)
+    got = shardmod.scene_sharded_hit(scene, o, d, mesh42)
+    ref = isect.nearest_hit(scene, o, d)
+    mesh_hit = np.asarray(ref.kind) == isect.KIND_MESH
+    assert mesh_hit.any()
+    want = np.asarray(scene.meshes.normals)[
+        np.asarray(ref.index)[mesh_hit]]
+    np.testing.assert_allclose(np.asarray(got.mesh_n)[mesh_hit], want,
+                               rtol=1e-5, atol=1e-6)
+
+
+def test_scene_sharded_hit_bvh_matches(mesh42):
+    """Regime 2 production path: per-shard BVH traversal + combine must
+    equal the single-device brute nearest hit."""
+    scene, cam, cfg = mesh_scene(100, width=16, height=16)
+    o, d = generate_rays(cam)
+    ref = isect.nearest_hit(scene, o, d)
+    sb = shardmod.build_shard_bvhs(scene, tp=2)
+    got = shardmod.scene_sharded_hit_bvh(scene, o, d, mesh42, sb)
+    np.testing.assert_array_equal(np.asarray(got.kind),
+                                  np.asarray(ref.kind))
+    hit = np.asarray(ref.kind) != isect.KIND_NONE
+    np.testing.assert_allclose(np.asarray(got.t)[hit],
+                               np.asarray(ref.t)[hit], rtol=1e-6)
+    np.testing.assert_array_equal(np.asarray(got.index)[hit],
+                                  np.asarray(ref.index)[hit])
+    np.testing.assert_array_equal(np.asarray(got.mesh_index),
+                                  np.asarray(ref.mesh_index))
+    mesh_hit = np.asarray(ref.kind) == isect.KIND_MESH
+    want = np.asarray(scene.meshes.normals)[
+        np.asarray(ref.index)[mesh_hit]]
+    np.testing.assert_allclose(np.asarray(got.mesh_n)[mesh_hit], want,
+                               rtol=1e-4, atol=1e-5)
+
+
 def test_ring_hit_matches(mesh8):
     scene, cam, cfg = mesh_scene(100, width=16, height=16)
     o, d = generate_rays(cam)

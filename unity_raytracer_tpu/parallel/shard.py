@@ -94,6 +94,23 @@ def render_auto(scene: Scene, cam: Camera, cfg: RenderConfig, mesh: Mesh,
 # Regime 2: scene sharded (TP analogue)
 # ---------------------------------------------------------------------------
 
+def _rest_scene(scene: Scene) -> Scene:
+    """The replicated part of a scene-sharded computation: everything
+    EXCEPT the per-triangle mesh arrays, which are replaced by 1-row
+    dummies. The big [M]-row arrays travel ONLY as shards — per-device
+    memory for them is M/tp rows, which is the entire point of the TP
+    regime (SURVEY.md §5.7 regime 2). The small per-MESH side tables
+    (AABBs, materials: K rows) stay replicated."""
+    m = scene.meshes
+    dummy = dataclasses.replace(
+        m,
+        verts=jnp.zeros((1, 3, 3), jnp.float32),
+        normals=jnp.zeros((1, 3), jnp.float32),
+        mesh_id=jnp.zeros((1,), jnp.int32),
+        valid=jnp.zeros((1,), bool))
+    return dataclasses.replace(scene, meshes=dummy)
+
+
 def shard_scene_mesh_tris(scene: Scene, mesh: Mesh) -> Scene:
     """Place the mesh-triangle arrays sharded over ``tp`` (row-sharded);
     everything else replicated. Requires M % tp == 0 (pad the builder)."""
@@ -106,56 +123,186 @@ def shard_scene_mesh_tris(scene: Scene, mesh: Mesh) -> Scene:
         normals=jax.device_put(m.normals, tp_sh),
         mesh_id=jax.device_put(m.mesh_id, tp_sh),
         valid=jax.device_put(m.valid, tp_sh))
-    return dataclasses.replace(jax.device_put(scene, rep), meshes=m)
+    return dataclasses.replace(jax.device_put(_rest_scene(scene), rep),
+                               meshes=m)
+
+
+def _combine_partial_hits(t, kind, index_gl, mesh_index, normal):
+    """Lexicographic (t, key) pmin over ``tp`` + winner-shard carry.
+
+    ``index_gl`` must be GLOBAL (unique across shards) so the packed key
+    identifies exactly one shard; the winner's mesh_index and shading
+    normal then ride a psum (zero from every losing shard)."""
+    key = collectives.pack_hit(kind, jnp.clip(index_gl, 0, None))
+    key = jnp.where(kind == KIND_NONE, jnp.int32(2**31 - 1), key)
+    t_g, key_g = collectives.min_hit_combine(t, key, SCENE_AXIS)
+    kind_g, index_g = collectives.unpack_hit(key_g)
+    missed = key_g == 2**31 - 1
+    kind_g = jnp.where(missed, KIND_NONE, kind_g)
+    index_g = jnp.where(missed, -1, index_g)
+
+    # winner-shard carry: for MESH winners exactly one shard matches the
+    # global key (global index => unique); sphere/loose winners are
+    # computed identically on every shard, so gate on kind==MESH and let
+    # psum pick up the single contributor
+    won_mesh = ((key == key_g) & (t == t_g)
+                & (kind == isect.KIND_MESH) & (kind_g == isect.KIND_MESH))
+    mesh_index_g = jax.lax.psum(
+        jnp.where(won_mesh, mesh_index + 1, 0), SCENE_AXIS) - 1
+    normal_g = jax.lax.psum(
+        jnp.where(won_mesh[:, None], normal, 0.0), SCENE_AXIS)
+    mesh_index_g = jnp.where(kind_g == isect.KIND_MESH, mesh_index_g, -1)
+    return t_g, kind_g, index_g, mesh_index_g, normal_g
 
 
 def scene_sharded_hit(scene: Scene, o: jnp.ndarray, d: jnp.ndarray,
                       mesh: Mesh) -> Hit:
-    """Nearest hit with mesh triangles sharded over ``tp``.
+    """Regime 2 (brute): nearest hit with mesh triangles sharded over
+    ``tp`` — the shards are the ONLY copy of the [M]-row arrays.
 
-    Each device brute-forces its triangle shard (plus the replicated sphere/
-    loose-triangle tables), then partial winners combine with the
-    lexicographic (t, key) pmin. Exactly equal to the single-device result,
-    including the reference's category tie order (keys pack kind-major).
+    Each device brute-forces its triangle shard (plus the replicated
+    sphere/loose-triangle tables — tiny), then partial winners combine
+    with the lexicographic (t, key) pmin; the winner shard also carries
+    its mesh id and shading normal across (no global [M] table needed
+    anywhere). Exactly equal to the single-device result, including the
+    reference's category tie order (keys pack kind-major).
     """
     tp = mesh.shape[SCENE_AXIS]
     m_total = scene.meshes.count
     assert m_total % tp == 0, "pad mesh triangles to a multiple of tp"
     shard_rows = m_total // tp
+    rest = _rest_scene(scene)
 
     @partial(shard_map, mesh=mesh,
              in_specs=(P(), P(SCENE_AXIS), P(SCENE_AXIS), P(SCENE_AXIS),
                        P(SCENE_AXIS), P(), P()),
-             out_specs=(P(), P(), P(), P()), check_vma=False)
-    def _go(scene_, mverts, mnormals, mid, mvalid, o_, d_):
+             out_specs=(P(), P(), P(), P(), P()), check_vma=False)
+    def _go(rest_, mverts, mnormals, mid, mvalid, o_, d_):
         local = dataclasses.replace(
-            scene_, meshes=dataclasses.replace(
-                scene_.meshes, verts=mverts, normals=mnormals,
+            rest_, meshes=dataclasses.replace(
+                rest_.meshes, verts=mverts, normals=mnormals,
                 mesh_id=mid, valid=mvalid))
         hit = isect.nearest_hit(local, o_, d_)
-        # globalize mesh-triangle indices
         shard_i = jax.lax.axis_index(SCENE_AXIS)
-        gl_index = jnp.where(hit.kind == isect.KIND_MESH,
-                             hit.index + shard_i * shard_rows, hit.index)
-        key = collectives.pack_hit(hit.kind, jnp.clip(gl_index, 0, None))
-        key = jnp.where(hit.kind == KIND_NONE, jnp.int32(2**31 - 1), key)
-        t_g, key_g = collectives.min_hit_combine(hit.t, key, SCENE_AXIS)
-        kind_g, index_g = collectives.unpack_hit(key_g)
-        missed = key_g == 2**31 - 1
-        kind_g = jnp.where(missed, KIND_NONE, kind_g)
-        index_g = jnp.where(missed, -1, index_g)
-        mesh_index = jnp.where(
-            kind_g == isect.KIND_MESH,
-            jnp.take(scene.meshes.mesh_id, jnp.clip(index_g, 0, None)),
-            jnp.int32(-1))
-        return t_g, kind_g, index_g, mesh_index
+        is_mesh = hit.kind == isect.KIND_MESH
+        gl_index = jnp.where(is_mesh, hit.index + shard_i * shard_rows,
+                             hit.index)
+        nrm = jnp.take(mnormals, jnp.clip(hit.index, 0, shard_rows - 1),
+                       axis=0)
+        return _combine_partial_hits(hit.t, hit.kind, gl_index,
+                                     hit.mesh_index, nrm)
 
-    # NOTE: mesh_id gather above uses the full (replicated) table captured
-    # from the outer scene for the final mapping.
-    t, kind, index, mesh_index = _go(
-        scene, scene.meshes.verts, scene.meshes.normals, scene.meshes.mesh_id,
-        scene.meshes.valid, o, d)
-    return Hit(t=t, kind=kind, index=index, mesh_index=mesh_index)
+    t, kind, index, mesh_index, normal = _go(
+        rest, scene.meshes.verts, scene.meshes.normals,
+        scene.meshes.mesh_id, scene.meshes.valid, o, d)
+    return Hit(t=t, kind=kind, index=index, mesh_index=mesh_index,
+               mesh_n=normal)
+
+
+def build_shard_bvhs(scene: Scene, tp: int):
+    """Host-side: one BVH per contiguous triangle shard, padded to common
+    array sizes and stacked on a leading ``tp`` dim for shard_map.
+
+    Returns a dict of stacked arrays; pad nodes are never visited (the
+    threaded miss chain terminates inside the real subtree)."""
+    import numpy as np
+
+    from unity_raytracer_tpu.ops import bvh as bvhmod
+
+    verts = bvhmod.canonical_winding(np.asarray(scene.meshes.verts),
+                                     np.asarray(scene.meshes.normals))
+    valid = np.asarray(scene.meshes.valid)
+    mid = np.asarray(scene.meshes.mesh_id)
+    m_total = verts.shape[0]
+    assert m_total % tp == 0
+    rows = m_total // tp
+
+    shards = []
+    for s in range(tp):
+        sl = slice(s * rows, (s + 1) * rows)
+        shards.append(bvhmod.build(verts[sl], valid[sl]))
+    nn_max = max(b.n_nodes for b in shards)
+
+    def pad_nodes(a, fill):
+        a = np.asarray(a)
+        out = np.full((nn_max,) + a.shape[1:], fill, a.dtype)
+        out[: a.shape[0]] = a
+        return out
+
+    import numpy as _np
+    stacked = {
+        "node_min": _np.stack([pad_nodes(b.node_min, _np.inf)
+                               for b in shards]),
+        "node_max": _np.stack([pad_nodes(b.node_max, -_np.inf)
+                               for b in shards]),
+        "first": _np.stack([pad_nodes(b.first, 0) for b in shards]),
+        "count": _np.stack([pad_nodes(b.count, 0) for b in shards]),
+        "miss_next": _np.stack([pad_nodes(b.miss_next, -1)
+                                for b in shards]),
+        # leaf-order triangles + local prim rows + their mesh ids
+        "tri_verts": _np.stack([_np.asarray(b.tri_verts) for b in shards]),
+        "prim_index": _np.stack([_np.asarray(b.prim_index)
+                                 for b in shards]),
+        "prim_mesh_id": _np.stack(
+            [mid[s * rows:(s + 1) * rows][_np.asarray(b.prim_index)]
+             for b in shards]),
+        "leaf_size": shards[0].leaf_size,
+    }
+    return {k: (jnp.asarray(v) if not isinstance(v, int) else v)
+            for k, v in stacked.items()}
+
+
+def scene_sharded_hit_bvh(scene: Scene, o: jnp.ndarray, d: jnp.ndarray,
+                          mesh: Mesh, shard_bvhs: Dict) -> Hit:
+    """Regime 2 (BVH): like scene_sharded_hit but each device traverses
+    its OWN BVH over its triangle shard (build_shard_bvhs) instead of
+    brute force — the production TP path for large scenes."""
+    from unity_raytracer_tpu.ops import bvh as bvhmod
+
+    tp = mesh.shape[SCENE_AXIS]
+    m_total = scene.meshes.count
+    shard_rows = m_total // tp
+    leaf_size = shard_bvhs["leaf_size"]
+    rest = _rest_scene(scene)
+    arrays = [shard_bvhs[k] for k in
+              ("node_min", "node_max", "first", "count", "miss_next",
+               "tri_verts", "prim_index", "prim_mesh_id")]
+
+    @partial(shard_map, mesh=mesh,
+             in_specs=(P(),) + (P(SCENE_AXIS),) * 8 + (P(), P()),
+             out_specs=(P(), P(), P(), P(), P()), check_vma=False)
+    def _go(rest_, nmin, nmax, first, count, miss, tv, prim, pmid,
+            o_, d_):
+        local_bvh = bvhmod.MeshBVH(
+            node_min=nmin[0], node_max=nmax[0], first=first[0],
+            count=count[0], miss_next=miss[0], tri_verts=tv[0],
+            prim_index=prim[0], leaf_size=leaf_size, canonical=True)
+        t_m, i_loc, nrm = bvhmod.traverse(local_bvh, o_, d_)
+        # scene-AABB early-out applies to mesh candidates too (Scene.cs:54)
+        in_box = isect.ray_aabb(o_, d_, rest_.aabb_min[None, :],
+                                rest_.aabb_max[None, :])
+        t_m = jnp.where(in_box, t_m, jnp.inf)
+        # fold in the replicated sphere/loose categories via nearest_hit
+        # on the dummy-mesh rest scene, then merge mesh candidates.
+        # Reference order evaluates mesh FIRST and later categories win
+        # only on strictly smaller t (Scene.cs:94,107) — so an equal-t
+        # mesh candidate keeps the win (<=).
+        hit_rest = isect.nearest_hit(rest_, o_, d_)
+        mesh_wins = (t_m <= hit_rest.t) & jnp.isfinite(t_m)
+        kind = jnp.where(mesh_wins, isect.KIND_MESH, hit_rest.kind)
+        index = jnp.where(mesh_wins, i_loc, hit_rest.index)
+        t = jnp.where(mesh_wins, t_m, hit_rest.t)
+        pmid_sel = jnp.where(
+            mesh_wins & (i_loc >= 0),
+            jnp.take(pmid[0], jnp.clip(i_loc, 0, None)), -1)
+        shard_i = jax.lax.axis_index(SCENE_AXIS)
+        gl_index = jnp.where(kind == isect.KIND_MESH,
+                             index + shard_i * shard_rows, index)
+        return _combine_partial_hits(t, kind, gl_index, pmid_sel, nrm)
+
+    t, kind, index, mesh_index, normal = _go(rest, *arrays, o, d)
+    return Hit(t=t, kind=kind, index=index, mesh_index=mesh_index,
+               mesh_n=normal)
 
 
 # ---------------------------------------------------------------------------
