@@ -174,6 +174,42 @@ def test_ring_hit_matches(mesh8):
     assert (np.asarray(i_got)[~hit] == -1).all()
 
 
+def test_nearest_hit_ring_full_semantics(mesh8):
+    """Ring regime as a drop-in nearest_hit: kind/index/mesh_index/t and
+    the carried shading normal all match the single-device result."""
+    scene, cam, cfg = mesh_scene(100, width=16, height=16)
+    o, d = generate_rays(cam)
+    assert o.shape[0] % 8 == 0 and scene.meshes.count % 8 == 0
+    ref = isect.nearest_hit(scene, o, d)
+    got = shardmod.nearest_hit_ring(scene, o, d, mesh8)
+    np.testing.assert_array_equal(np.asarray(got.kind),
+                                  np.asarray(ref.kind))
+    hit = np.asarray(ref.kind) != isect.KIND_NONE
+    np.testing.assert_allclose(np.asarray(got.t)[hit],
+                               np.asarray(ref.t)[hit], rtol=1e-6)
+    np.testing.assert_array_equal(np.asarray(got.index)[hit],
+                                  np.asarray(ref.index)[hit])
+    np.testing.assert_array_equal(np.asarray(got.mesh_index),
+                                  np.asarray(ref.mesh_index))
+    mesh_hit = np.asarray(ref.kind) == isect.KIND_MESH
+    want = np.asarray(scene.meshes.normals)[
+        np.asarray(ref.index)[mesh_hit]]
+    np.testing.assert_allclose(np.asarray(got.mesh_n)[mesh_hit], want,
+                               rtol=1e-5, atol=1e-6)
+
+
+def test_swap_shard_axes_involution(mesh42):
+    """Ulysses reshard: declared block-interleave order, exact
+    involution, and per-device shards actually live on the target axis."""
+    n = 4 * 2 * 6
+    x = jnp.arange(n * 3, dtype=jnp.float32).reshape(n, 3)
+    y = shardmod.swap_shard_axes(x, mesh42, "dp", "tp")
+    want = np.asarray(x).reshape(4, 2, -1, 3).swapaxes(0, 1).reshape(n, 3)
+    np.testing.assert_array_equal(np.asarray(y), want)
+    back = shardmod.swap_shard_axes(y, mesh42, "tp", "dp")
+    np.testing.assert_array_equal(np.asarray(back), np.asarray(x))
+
+
 def test_min_hit_combine_tie_break(mesh8):
     """Equal t on every device -> smallest packed key (category order) wins."""
     from functools import partial

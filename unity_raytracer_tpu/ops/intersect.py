@@ -265,9 +265,13 @@ def nearest_hit(scene, o: jnp.ndarray, d: jnp.ndarray, bvh=None,
     kind = jnp.where(in_box, kind, KIND_NONE)
     index = jnp.where(in_box, index, -1)
 
+    # clip to the mesh table size: a sphere/loose winner's index can
+    # exceed M (value masked below, but unclipped it is still an OOB
+    # access — caught by checkify, tests/test_sanitize.py)
     mesh_index = jnp.where(
         kind == KIND_MESH,
-        jnp.take(scene.meshes.mesh_id, jnp.clip(index, 0, None)),
+        jnp.take(scene.meshes.mesh_id,
+                 jnp.clip(index, 0, scene.meshes.count - 1)),
         jnp.int32(-1))
     return Hit(t=t, kind=kind, index=index,
                mesh_index=mesh_index.astype(jnp.int32), mesh_n=mesh_n)

@@ -191,16 +191,20 @@ def _trace_chain(scene: Scene, o: jnp.ndarray, d: jnp.ndarray,
         o, d, thr, active, acc, depth = args
         # retired lanes are culled from the traversal union via t_max=-1
         tmax = jnp.where(active, 3.0e38, -1.0)
-        hit = nearest_hit(scene, o, d, bvh=bvh, kernel=cfg.kernel,
-                          t_max=tmax)
-        (contrib, p, n, mats, hit_mask), n_shadow = _local_radiance(
-            scene, o, d, cfg, hit, bvh=bvh, active=active,
-            with_stats=True)
+        with jax.named_scope("nearest_hit"):
+            hit = nearest_hit(scene, o, d, bvh=bvh, kernel=cfg.kernel,
+                              t_max=tmax)
+        with jax.named_scope("shade"):
+            (contrib, p, n, mats, hit_mask), n_shadow = _local_radiance(
+                scene, o, d, cfg, hit, bvh=bvh, active=active,
+                with_stats=True)
         acc = acc + thr * contrib * active[:, None]
-        cont = active & hit_mask & mats.is_mirror & (depth < cfg.max_bounces)
-        thr = jnp.where(cont[:, None], thr * mats.mirror, thr)
-        o = p + n * SHADOW_EPS        # Reflect origin offset (:368-373)
-        d = jnp.where(cont[:, None], sh.reflect_dir(d, n), d)
+        with jax.named_scope("bounce_update"):
+            cont = (active & hit_mask & mats.is_mirror
+                    & (depth < cfg.max_bounces))
+            thr = jnp.where(cont[:, None], thr * mats.mirror, thr)
+            o = p + n * SHADOW_EPS    # Reflect origin offset (:368-373)
+            d = jnp.where(cont[:, None], sh.reflect_dir(d, n), d)
         return (o, d, thr, cont, acc), n_shadow
 
     def dead_seg(args):
@@ -367,10 +371,12 @@ def _frame_core(scene: Scene, cam: Camera, cfg: RenderConfig,
     is restored with one reshape+transpose (utils/swizzle.unswizzle_image).
     """
     from unity_raytracer_tpu.utils.swizzle import unswizzle_image
-    o, d = generate_rays_blocks(cam, cfg.block_size)
+    with jax.named_scope("raygen"):
+        o, d = generate_rays_blocks(cam, cfg.block_size)
     rad = trace_radiance(scene, o, d, cfg, bvh=bvh)
-    return unswizzle_image(rad, cam.width, cam.height,
-                           cfg.block_size) / 255.0
+    with jax.named_scope("image_assembly"):
+        return unswizzle_image(rad, cam.width, cam.height,
+                               cfg.block_size) / 255.0
 
 
 def render_frame(scene: Scene, cam: Camera, cfg: RenderConfig,

@@ -306,6 +306,49 @@ def scene_sharded_hit_bvh(scene: Scene, o: jnp.ndarray, d: jnp.ndarray,
 
 
 # ---------------------------------------------------------------------------
+# Regime 4: Ulysses-style all-to-all reshard (axis swap between phases)
+# ---------------------------------------------------------------------------
+
+def swap_shard_axes(x: jnp.ndarray, mesh: Mesh, from_axis: str,
+                    to_axis: str) -> jnp.ndarray:
+    """Reshard a [N, ...] tensor from ``from_axis`` to ``to_axis`` — the
+    Ulysses pattern (SURVEY.md §5.7's fourth tool): when consecutive
+    pipeline phases prefer different layouts (e.g. traversal rays-major
+    over dp, then a scene-sharded phase that wants each tp group to own
+    a ray block), swap the sharded axis WITHOUT materializing the full
+    tensor anywhere. Per-device comm volume = one target shard (the
+    all-to-all optimum).
+
+    Output GLOBAL order is the fixed block interleave
+    ``x.reshape(pf, pt, -1, ...).swapaxes(0, 1).reshape(N, ...)`` —
+    calling again with the axes swapped restores the original exactly
+    (involution), the same way Ulysses undoes its head/sequence
+    transpose after the attention phase.
+
+    Requires N divisible by pf*pt.
+    """
+    p_from = mesh.shape[from_axis]
+    p_to = mesh.shape[to_axis]
+    n = x.shape[0]
+    assert n % (p_from * p_to) == 0, (n, p_from, p_to)
+
+    @partial(shard_map, mesh=mesh,
+             in_specs=P(from_axis), out_specs=P(to_axis),
+             check_vma=False)
+    def _go(x_):
+        # device (i on from, j on to) holds block i (replicated over
+        # to_axis); it keeps its j-th chunk and gathers the j-th chunk
+        # of every from-peer — together: global block j of the swapped
+        # interleave
+        j = jax.lax.axis_index(to_axis)
+        c = x_.shape[0] // p_to
+        mine = jax.lax.dynamic_slice_in_dim(x_, j * c, c, axis=0)
+        return jax.lax.all_gather(mine, from_axis, axis=0, tiled=True)
+
+    return _go(x)
+
+
+# ---------------------------------------------------------------------------
 # Regime 3: ring pass (rays and scene both sharded on one axis)
 # ---------------------------------------------------------------------------
 
@@ -355,6 +398,80 @@ def nearest_mesh_hit_ring(scene: Scene, o: jnp.ndarray, d: jnp.ndarray,
         return best_t, best_i
 
     return _go(scene.meshes.verts, scene.meshes.valid, o, d)
+
+
+def nearest_hit_ring(scene: Scene, o: jnp.ndarray, d: jnp.ndarray,
+                     mesh: Mesh, axis: str = RAY_AXIS) -> Hit:
+    """Regime 3 with FULL Hit semantics: rays and mesh triangles
+    co-sharded on ``axis``; triangle shards (verts + normals + mesh ids
+    + validity) rotate around the ring while each resident ray shard
+    folds the running global best, then the replicated sphere/loose
+    categories and scene-AABB gate fold in locally — a drop-in
+    ``nearest_hit`` whose outputs are sharded over ``axis``.
+
+    Memory: per device, rays N/p + triangles M/p — the regime for when
+    NEITHER fits replicated (SURVEY.md §5.7 regime 3).
+    """
+    size = mesh.shape[axis]
+    m_total = scene.meshes.count
+    assert m_total % size == 0 and o.shape[0] % size == 0
+    rows = m_total // size
+    rest = _rest_scene(scene)
+
+    @partial(shard_map, mesh=mesh,
+             in_specs=(P(), P(axis), P(axis), P(axis), P(axis),
+                       P(axis), P(axis)),
+             out_specs=(P(axis),) * 5, check_vma=False)
+    def _go(rest_, mverts, mnorm, mid, mvalid, o_, d_):
+        my = jax.lax.axis_index(axis)
+        perm = [(i, (i + 1) % size) for i in range(size)]
+        n_loc = o_.shape[0]
+
+        def step(carry, _):
+            verts, norm, mids, valid, shard_id, best = carry
+            best_t, best_i, best_mid, best_n = best
+            t = isect.ray_triangles(o_, d_, verts, valid)
+            i_loc = jnp.argmin(t, axis=1).astype(jnp.int32)
+            t_loc = jnp.take_along_axis(t, i_loc[:, None], axis=1)[:, 0]
+            upd = t_loc < best_t
+            best_t = jnp.where(upd, t_loc, best_t)
+            best_i = jnp.where(upd, i_loc + shard_id * rows, best_i)
+            best_mid = jnp.where(upd, jnp.take(mids, i_loc), best_mid)
+            best_n = jnp.where(upd[:, None],
+                               jnp.take(norm, i_loc, axis=0), best_n)
+            rot = lambda x: jax.lax.ppermute(x, axis, perm)
+            return ((rot(verts), rot(norm), rot(mids), rot(valid),
+                     rot(shard_id),
+                     (best_t, best_i, best_mid, best_n)), None)
+
+        init_best = (jnp.full((n_loc,), jnp.inf, jnp.float32),
+                     jnp.full((n_loc,), -1, jnp.int32),
+                     jnp.full((n_loc,), -1, jnp.int32),
+                     jnp.zeros((n_loc, 3), jnp.float32))
+        (_, _, _, _, _, best), _ = jax.lax.scan(
+            step, (mverts, mnorm, mid, mvalid, my, init_best),
+            None, length=size)
+        t_m, gl, bmid, bn = best
+
+        # scene-AABB gate applies to mesh candidates (Scene.cs:54)
+        in_box = isect.ray_aabb(o_, d_, rest_.aabb_min[None, :],
+                                rest_.aabb_max[None, :])
+        t_m = jnp.where(in_box, t_m, jnp.inf)
+        # replicated categories; mesh evaluated FIRST in the reference,
+        # so equal-t mesh candidates keep the win (Scene.cs:94,107)
+        hit_rest = isect.nearest_hit(rest_, o_, d_)
+        mesh_wins = (t_m <= hit_rest.t) & jnp.isfinite(t_m)
+        kind = jnp.where(mesh_wins, isect.KIND_MESH, hit_rest.kind)
+        index = jnp.where(mesh_wins, gl, hit_rest.index)
+        t = jnp.where(mesh_wins, t_m, hit_rest.t)
+        mesh_index = jnp.where(mesh_wins, bmid, -1)
+        return t, kind, index, mesh_index, bn
+
+    t, kind, index, mesh_index, normal = _go(
+        rest, scene.meshes.verts, scene.meshes.normals,
+        scene.meshes.mesh_id, scene.meshes.valid, o, d)
+    return Hit(t=t, kind=kind, index=index, mesh_index=mesh_index,
+               mesh_n=normal)
 
 
 def make_sharded_train_step(template: Scene, cam: Camera, rcfg: RenderConfig,
