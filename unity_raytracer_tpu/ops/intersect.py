@@ -220,12 +220,21 @@ def nearest_hit(scene, o: jnp.ndarray, d: jnp.ndarray, bvh=None,
         if ((kernel.startswith("pallas") or kernel == "mega")
                 and scene.meshes.verts.shape[0] >= 2048):
             # big mesh, no BVH: the fused brute-force megakernel avoids
-            # materializing the [N, M] t-matrix in HBM
+            # materializing the [N, M] t-matrix in HBM. Gradients are
+            # cut at the kernel; re-derive t differentiably from the
+            # winning triangle (same pattern as the BVH epilogues).
+            from unity_raytracer_tpu.ops.bvh import _mt_one
             from unity_raytracer_tpu.ops.pallas.intersect_mk import (
                 nearest_triangle_pallas)
-            t_mesh, i_mesh = nearest_triangle_pallas(
+            t_k, i_mesh = nearest_triangle_pallas(
                 o, d, scene.meshes.verts, scene.meshes.valid)
             i_mesh = jnp.clip(i_mesh, 0, None)
+            tri = jnp.take(scene.meshes.verts, i_mesh, axis=0)
+            t_diff = _mt_one(o, d, tri[:, 0], tri[:, 1], tri[:, 2])
+            t_mesh = jnp.where(
+                jnp.isfinite(t_k),
+                jnp.where(jnp.isfinite(t_diff), t_diff,
+                          jax.lax.stop_gradient(t_k)), INF)
         else:
             t_mesh, i_mesh = _best(ray_triangles(o, d, scene.meshes.verts,
                                                  scene.meshes.valid))

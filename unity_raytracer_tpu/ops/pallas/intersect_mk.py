@@ -174,7 +174,10 @@ def nearest_triangle_pallas(o: jnp.ndarray, d: jnp.ndarray,
             jax.ShapeDtypeStruct((total_r,), jnp.int32),
         ),
         interpret=interpret,
-    )(o[:, 0], o[:, 1], o[:, 2], d[:, 0], d[:, 1], d[:, 2],
-      tri_rows, valid_f)
-
+    )(*[jax.lax.stop_gradient(x) for x in
+        (o[:, 0], o[:, 1], o[:, 2], d[:, 0], d[:, 1], d[:, 2],
+         tri_rows, valid_f)])
+    # gradients are cut at the kernel (no pallas JVP rule); callers that
+    # need a differentiable t re-derive it from the winning index
+    # (ops/intersect.nearest_hit does)
     return t_out[:n], i_out[:n]

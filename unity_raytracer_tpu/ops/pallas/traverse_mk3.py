@@ -249,6 +249,11 @@ def traverse_packet3(packed: PackedBVH, o: jnp.ndarray, d: jnp.ndarray,
         memory_space=pltpu.VMEM)
     tile = pl.BlockSpec((TILE_R,), lambda i: (i,), memory_space=pltpu.VMEM)
 
+    # traversal is pure index logic: cut gradients at the kernel INPUTS
+    # (pallas_call has no JVP rule; tangents would otherwise flow in via
+    # bounce-chain-dependent origins / t_max). The differentiable t is
+    # re-derived below from the ORIGINAL (non-stopped) rays.
+    sg = jax.lax.stop_gradient
     t_out, slot_out, leaf_out = pl.pallas_call(
         functools.partial(_kernel, any_hit=any_hit),
         grid=grid,
@@ -261,8 +266,9 @@ def traverse_packet3(packed: PackedBVH, o: jnp.ndarray, d: jnp.ndarray,
             jax.ShapeDtypeStruct((total,), jnp.int32),
         ),
         interpret=interpret,
-    )(o[:, 0], o[:, 1], o[:, 2], d[:, 0], d[:, 1], d[:, 2], tmax,
-      packed.nodes, packed.tris)
+    )(sg(o[:, 0]), sg(o[:, 1]), sg(o[:, 2]),
+      sg(d[:, 0]), sg(d[:, 1]), sg(d[:, 2]), sg(tmax),
+      sg(packed.nodes), sg(packed.tris))
 
     t_out = jax.lax.stop_gradient(t_out[:n])
     slot_out = slot_out[:n]

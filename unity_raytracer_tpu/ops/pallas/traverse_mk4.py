@@ -215,6 +215,9 @@ def traverse_packet4(packed: PackedBVH, o: jnp.ndarray, d: jnp.ndarray,
         memory_space=pltpu.VMEM)
     tile = pl.BlockSpec((TILE_R,), lambda i: (i,), memory_space=pltpu.VMEM)
 
+    # cut gradients at the kernel inputs (no JVP rule for pallas_call;
+    # traversal is index logic) — differentiable t re-derived below
+    sg = jax.lax.stop_gradient
     t_out, slot_out, leaf_out = pl.pallas_call(
         functools.partial(_kernel, any_hit=any_hit),
         grid=grid,
@@ -229,8 +232,9 @@ def traverse_packet4(packed: PackedBVH, o: jnp.ndarray, d: jnp.ndarray,
         scratch_shapes=[pltpu.SMEM((STACK,), jnp.int32),
                         pltpu.SMEM((STACK,), jnp.float32)],
         interpret=interpret,
-    )(o[:, 0], o[:, 1], o[:, 2], d[:, 0], d[:, 1], d[:, 2], tmax,
-      packed.nodes, packed.tris)
+    )(sg(o[:, 0]), sg(o[:, 1]), sg(o[:, 2]),
+      sg(d[:, 0]), sg(d[:, 1]), sg(d[:, 2]), sg(tmax),
+      sg(packed.nodes), sg(packed.tris))
 
     t_out = jax.lax.stop_gradient(t_out[:n])
     slot_out = slot_out[:n]
