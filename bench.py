@@ -57,6 +57,37 @@ def _enable_compile_cache():
         print(f"[bench] compile cache unavailable: {e}", file=sys.stderr)
 
 
+def _with_timeout(fn, seconds, label):
+    """Run fn() on a daemon thread with a hard join timeout.
+
+    The remote-TPU tunnel can wedge indefinitely (a hung compile helper
+    blocks forever, not with an exception); auxiliary bench sections
+    must not take the flagship number down with them. On timeout the
+    daemon thread is abandoned (process exit reaps it) and None is
+    returned.
+    """
+    import threading
+    box = {}
+
+    def run():
+        try:
+            box["out"] = fn()
+        except Exception as e:  # noqa: BLE001 — report, don't die
+            box["err"] = e
+
+    t = threading.Thread(target=run, daemon=True)
+    t.start()
+    t.join(seconds)
+    if t.is_alive():
+        print(f"[bench] {label} timed out after {seconds}s",
+              file=sys.stderr)
+        return None
+    if "err" in box:
+        print(f"[bench] {label} failed: {box['err']}", file=sys.stderr)
+        return None
+    return box.get("out")
+
+
 def _timed(fn, repeats=3):
     import jax
 
@@ -123,22 +154,20 @@ def run_once(name="mesh100k", width=None, height=None, repeats=3,
     # ---- live-lane accounting (composed stats path, not timed) ------------
     live_rays = None
     if cfg.mode == "scan":
-        try:
+        def _stats():
             cfg_stats = cfg.with_(
                 kernel="pallas" if kernel == "mega" else kernel)
             o, d = generate_rays_blocks(cam, cfg_stats.block_size)
             _, (live, shadow) = jax.block_until_ready(
                 trace_radiance_stats(scene, o, d, cfg_stats, bvh=bvh))
-            live_rays = int(np.asarray(live).sum()
-                            + np.asarray(shadow).sum())
-        except Exception as e:
-            print(f"[bench] stats failed: {e}", file=sys.stderr)
+            return int(np.asarray(live).sum() + np.asarray(shadow).sum())
+        live_rays = _with_timeout(_stats, 420, "live-lane stats")
 
     # ---- fwd+bwd ----------------------------------------------------------
     grad_s = None
     fwd_bwd = None
     if grad:
-        try:
+        def _grad():
             from unity_raytracer_tpu.fit import get_params, set_params
             cfg_g = cfg.with_(
                 kernel="pallas" if kernel == "mega" else kernel)
@@ -155,13 +184,13 @@ def run_once(name="mesh100k", width=None, height=None, repeats=3,
                 return jnp.mean((rad - target) ** 2)
 
             vg = jax.jit(jax.value_and_grad(loss_fn))
-            gc, grad_s = _timed(lambda: vg(params0),
-                                max(1, repeats - 1))
-            fwd_bwd = issued / grad_s
+            gc, gs = _timed(lambda: vg(params0), max(1, repeats - 1))
             print(json.dumps({"grad_compile_s": round(gc, 1)}),
                   file=sys.stderr)
-        except Exception as e:
-            print(f"[bench] grad bench failed: {e}", file=sys.stderr)
+            return gs
+        grad_s = _with_timeout(_grad, 600, "fwd+bwd bench")
+        if grad_s:
+            fwd_bwd = issued / grad_s
 
     # ---- roofline ---------------------------------------------------------
     # The megakernel's only HBM traffic is per-lane ray state: ~23 f32
