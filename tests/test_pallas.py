@@ -39,6 +39,48 @@ def test_matches_brute_force(rng):
     assert ((i_p == -1) == ~hit).all()
 
 
+def test_nearest_hit_routes_brute_kernel(rng):
+    """Big mesh without a BVH + explicit pallas kernel: nearest_hit must
+    route through the fused brute-force kernel (interpreted on CPU) and
+    agree with the XLA brute path — including the differentiable-t
+    epilogue."""
+    import jax
+    import jax.numpy as jnp2
+
+    from unity_raytracer_tpu.models.scene import SceneBuilder, make_material
+
+    v, f = meshgen.icosphere(subdivisions=4, radius=2.0)  # 5120 tris
+    b = SceneBuilder()
+    b.add_mesh(v, f, make_material(diffuse=(1, 0, 0)))
+    b.add_point_light((0, 5, 0), 100.0)
+    scene = b.build()
+    assert scene.meshes.count >= 2048
+
+    o, d = _rays(rng, 200, spread=4.0)
+    from unity_raytracer_tpu.ops.intersect import nearest_hit
+    ref = nearest_hit(scene, o, d, kernel="xla")
+    got = nearest_hit(scene, o, d, kernel="pallas")
+    np.testing.assert_array_equal(np.asarray(got.kind),
+                                  np.asarray(ref.kind))
+    hit = np.asarray(ref.kind) != 0
+    np.testing.assert_array_equal(np.asarray(got.index)[hit],
+                                  np.asarray(ref.index)[hit])
+    np.testing.assert_allclose(np.asarray(got.t)[hit],
+                               np.asarray(ref.t)[hit], rtol=1e-6)
+
+    # gradient flows through the re-derived t
+    def f_t(verts):
+        import dataclasses
+        s2 = dataclasses.replace(
+            scene, meshes=dataclasses.replace(scene.meshes, verts=verts))
+        h = nearest_hit(s2, o, d, kernel="pallas")
+        return jnp2.sum(jnp2.where(jnp2.isfinite(h.t), h.t, 0.0))
+
+    g = jax.grad(f_t)(scene.meshes.verts)
+    assert np.isfinite(np.asarray(g)).all()
+    assert float(np.abs(np.asarray(g)).max()) > 0
+
+
 def test_valid_mask(rng):
     v, f = meshgen.icosphere(subdivisions=2, radius=2.0)
     tris = v[f]

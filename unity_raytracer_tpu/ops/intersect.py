@@ -227,7 +227,8 @@ def nearest_hit(scene, o: jnp.ndarray, d: jnp.ndarray, bvh=None,
             from unity_raytracer_tpu.ops.pallas.intersect_mk import (
                 nearest_triangle_pallas)
             t_k, i_mesh = nearest_triangle_pallas(
-                o, d, scene.meshes.verts, scene.meshes.valid)
+                o, d, scene.meshes.verts, scene.meshes.valid,
+                interpret=jax.default_backend() == "cpu")
             i_mesh = jnp.clip(i_mesh, 0, None)
             tri = jnp.take(scene.meshes.verts, i_mesh, axis=0)
             t_diff = _mt_one(o, d, tri[:, 0], tri[:, 1], tri[:, 2])

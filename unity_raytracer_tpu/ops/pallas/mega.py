@@ -71,19 +71,20 @@ def _kernel(depth_ref,
             stack_ref, stack_tn_ref,
             *, n_lights: int, n_spheres: int, n_tris: int, n_mats: int,
             max_bounces: int):
+    tile = ox_ref.shape[0]
     live_in = tmax_ref[:] >= 0.0
 
     # pass-through defaults (overwritten when the tile has live lanes)
-    dr_ref[:] = jnp.zeros((TILE_R,), jnp.float32)
-    dg_ref[:] = jnp.zeros((TILE_R,), jnp.float32)
-    db_ref[:] = jnp.zeros((TILE_R,), jnp.float32)
+    dr_ref[:] = jnp.zeros((tile,), jnp.float32)
+    dg_ref[:] = jnp.zeros((tile,), jnp.float32)
+    db_ref[:] = jnp.zeros((tile,), jnp.float32)
     oxo_ref[:] = ox_ref[:]
     oyo_ref[:] = oy_ref[:]
     ozo_ref[:] = oz_ref[:]
     dxo_ref[:] = dx_ref[:]
     dyo_ref[:] = dy_ref[:]
     dzo_ref[:] = dz_ref[:]
-    tmo_ref[:] = jnp.full((TILE_R,), -1.0, jnp.float32)
+    tmo_ref[:] = jnp.full((tile,), -1.0, jnp.float32)
     tro_ref[:] = tr_ref[:]
     tgo_ref[:] = tg_ref[:]
     tbo_ref[:] = tb_ref[:]
@@ -221,12 +222,12 @@ def _kernel(depth_ref,
             sp = jnp.where(do_pop, sp - 1, sp)
             return cursor, sp, best_t, bnx, bny, bnz, bmat
 
-        zeros = jnp.zeros((TILE_R,), jnp.float32)
+        zeros = jnp.zeros((tile,), jnp.float32)
         best_t0 = jnp.where(live_in, _BIG, -1.0)
         _, _, best_t, bnx, bny, bnz, bmat = jax.lax.while_loop(
             lambda c: c[0] >= 0, near_body,
             (jnp.int32(0), jnp.int32(0), best_t0, zeros, zeros, zeros,
-             jnp.full((TILE_R,), -1.0, jnp.float32)))
+             jnp.full((tile,), -1.0, jnp.float32)))
 
         # ---- spheres then loose triangles (reference combine order,
         #      strict > update: Scene.cs:94,107) -------------------------
@@ -274,7 +275,7 @@ def _kernel(depth_ref,
         # scene-AABB early-out mask (Scene.cs:54)
         in_box, _ = slab(aux_ref[0, 0], aux_ref[0, 1], aux_ref[0, 2],
                          aux_ref[0, 3], aux_ref[0, 4], aux_ref[0, 5],
-                         jnp.full((TILE_R,), _BIG, jnp.float32))
+                         jnp.full((tile,), _BIG, jnp.float32))
         hit = live_in & in_box & (best_t < _BIG) & (best_t >= 0.0)
 
         # ---- material select (static unroll over the combined table) ---
@@ -528,7 +529,8 @@ def build_aux(scene, background) -> jnp.ndarray:
 def trace_segment(packed: PackedBVH, aux: jnp.ndarray, depth: jnp.ndarray,
                   o: jnp.ndarray, d: jnp.ndarray, thr: jnp.ndarray,
                   tmax: jnp.ndarray, *, n_lights: int, n_spheres: int,
-                  n_tris: int, max_bounces: int, interpret: bool = False):
+                  n_tris: int, max_bounces: int, interpret: bool = False,
+                  tile_r: int = TILE_R):
     """One fused bounce segment over all rays.
 
     Returns ``(delta [N,3], o' [N,3], d' [N,3], thr' [N,3], tmax' [N])``:
@@ -539,7 +541,7 @@ def trace_segment(packed: PackedBVH, aux: jnp.ndarray, depth: jnp.ndarray,
         raise ValueError("PackedBVH.leafmeta missing — build the BVH via "
                          "prepare_bvh for the megakernel path")
     n = o.shape[0]
-    n_pad = (-n) % TILE_R
+    n_pad = (-n) % tile_r
     pad1 = lambda x, v: (jnp.concatenate(
         [x, jnp.full((n_pad,), v, x.dtype)]) if n_pad else x)
     ox = pad1(o[:, 0], 0.0)
@@ -555,8 +557,8 @@ def trace_segment(packed: PackedBVH, aux: jnp.ndarray, depth: jnp.ndarray,
     total = ox.shape[0]
     n_mats = aux.shape[0] - (1 + n_lights + n_spheres + n_tris)
 
-    grid = (total // TILE_R,)
-    tile = pl.BlockSpec((TILE_R,), lambda i: (i,), memory_space=pltpu.VMEM)
+    grid = (total // tile_r,)
+    tile = pl.BlockSpec((tile_r,), lambda i: (i,), memory_space=pltpu.VMEM)
     rep = lambda *shape: pl.BlockSpec(
         shape, (lambda i: tuple(0 for _ in shape)),
         memory_space=pltpu.VMEM)

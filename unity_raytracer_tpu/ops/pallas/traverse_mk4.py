@@ -175,8 +175,8 @@ def _kernel(ox_ref, oy_ref, oz_ref, dx_ref, dy_ref, dz_ref, tmax_ref,
         return cursor, sp, best_t, best_slot, best_leaf
 
     best_t0 = tmax_ref[:]
-    slot0 = jnp.full((TILE_R,), -1, jnp.int32)
-    leaf0 = jnp.full((TILE_R,), -1, jnp.int32)
+    slot0 = jnp.full(best_t0.shape, -1, jnp.int32)
+    leaf0 = jnp.full(best_t0.shape, -1, jnp.int32)
     _, _, best_t, best_slot, best_leaf = jax.lax.while_loop(
         cond, body, (jnp.int32(0), jnp.int32(0), best_t0, slot0, leaf0))
 
@@ -188,12 +188,13 @@ def _kernel(ox_ref, oy_ref, oz_ref, dx_ref, dy_ref, dz_ref, tmax_ref,
 def traverse_packet4(packed: PackedBVH, o: jnp.ndarray, d: jnp.ndarray,
                      t_max: jnp.ndarray | None = None,
                      interpret: bool = False,
-                     any_hit: bool = False
+                     any_hit: bool = False,
+                     tile_r: int = TILE_R
                      ) -> Tuple[jnp.ndarray, jnp.ndarray, jnp.ndarray]:
     """Ordered-traversal twin of traverse_mk3.traverse_packet3."""
     bvh = packed.bvh
     n = o.shape[0]
-    n_pad = (-n) % TILE_R
+    n_pad = (-n) % tile_r
     if n_pad:
         o = jnp.concatenate([o, jnp.zeros((n_pad, 3), o.dtype)], 0)
         d = jnp.concatenate(
@@ -209,11 +210,11 @@ def traverse_packet4(packed: PackedBVH, o: jnp.ndarray, d: jnp.ndarray,
         tmax = (jnp.concatenate([tm, jnp.full((n_pad,), -1.0, jnp.float32)],
                                 0) if n_pad else tm)
 
-    grid = (total // TILE_R,)
+    grid = (total // tile_r,)
     rep = lambda *shape: pl.BlockSpec(
         shape, (lambda i: tuple(0 for _ in shape)),
         memory_space=pltpu.VMEM)
-    tile = pl.BlockSpec((TILE_R,), lambda i: (i,), memory_space=pltpu.VMEM)
+    tile = pl.BlockSpec((tile_r,), lambda i: (i,), memory_space=pltpu.VMEM)
 
     # cut gradients at the kernel inputs (no JVP rule for pallas_call;
     # traversal is index logic) — differentiable t re-derived below

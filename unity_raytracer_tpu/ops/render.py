@@ -124,7 +124,8 @@ def _trace_chain_mega(scene: Scene, o: jnp.ndarray, d: jnp.ndarray,
               n_spheres=scene.spheres.count,
               n_tris=scene.triangles.count,
               max_bounces=cfg.max_bounces,
-              interpret=_jax.default_backend() == "cpu")
+              interpret=_jax.default_backend() == "cpu",
+              tile_r=cfg.tile_r)
 
     acc0 = jnp.zeros((n_rays, 3), jnp.float32)
     thr0 = jnp.ones((n_rays, 3), jnp.float32)

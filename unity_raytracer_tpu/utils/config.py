@@ -48,6 +48,9 @@ class RenderConfig:
     block_size: int = 32        # pixel-block lane order (utils/swizzle.py,
     #                             camera.generate_rays_blocks); <=1 keeps
     #                             row-major lane order
+    tile_r: int = 1024          # packet-kernel tile (rays per shared
+    #                             traversal cursor); pair with block_size
+    #                             so a tile covers whole pixel blocks
     diff: DiffConfig = field(default_factory=DiffConfig)
 
     def with_(self, **kw) -> "RenderConfig":
