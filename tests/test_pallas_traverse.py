@@ -22,8 +22,11 @@ from unity_raytracer_tpu.ops import bvh as bvhmod
 from unity_raytracer_tpu.ops.pallas.traverse_mk3 import (
     PALLAS_LEAF, pack_rows, traverse_packet3)
 from unity_raytracer_tpu.ops.pallas.traverse_mk4 import traverse_packet4
+from unity_raytracer_tpu.ops.pallas.traverse_wide import (
+    traverse_wide, widen)
 
-KERNELS = {"mk3": traverse_packet3, "mk4": traverse_packet4}
+KERNELS = {"mk3": traverse_packet3, "mk4": traverse_packet4,
+           "wide": traverse_wide}
 
 
 def _rand_rays(rng, n, spread=3.0):
@@ -33,9 +36,9 @@ def _rand_rays(rng, n, spread=3.0):
     return jnp.asarray(o), jnp.asarray(d)
 
 
-def _packed(tris, valid=None):
+def _packed(tris, valid=None, arity=4):
     b = bvhmod.build(np.asarray(tris), valid, leaf_size=PALLAS_LEAF)
-    return pack_rows(b)
+    return widen(pack_rows(b), arity=arity)
 
 
 @pytest.fixture(scope="module")
@@ -44,7 +47,7 @@ def icosphere_packed():
     return jnp.asarray(v[f]), _packed(v[f])
 
 
-@pytest.mark.parametrize("name", ["mk3", "mk4"])
+@pytest.mark.parametrize("name", ["mk3", "mk4", "wide"])
 def test_nearest_matches_xla_traverse(rng, icosphere_packed, name):
     """Nearest hit (t, id) must equal the XLA traversal — 700 rays is
     deliberately not a TILE_R multiple, exercising pad lanes."""
@@ -60,7 +63,7 @@ def test_nearest_matches_xla_traverse(rng, icosphere_packed, name):
     assert not np.isfinite(np.asarray(t_p)[~hit]).any()
 
 
-@pytest.mark.parametrize("name", ["mk3", "mk4"])
+@pytest.mark.parametrize("name", ["mk3", "mk4", "wide"])
 def test_random_soup_full_leaves(rng, name):
     """Random soup with enough triangles that some leaves are FULL
     (count == PALLAS_LEAF), covering the static leaf-unroll boundary."""
@@ -79,7 +82,7 @@ def test_random_soup_full_leaves(rng, name):
                                np.asarray(t_ref)[hit], rtol=1e-6)
 
 
-@pytest.mark.parametrize("name", ["mk3", "mk4"])
+@pytest.mark.parametrize("name", ["mk3", "mk4", "wide"])
 def test_tmax_seed_and_negative_cull(rng, icosphere_packed, name):
     """t_max semantics: hits at/beyond t_max are misses; negative t_max
     culls the lane outright (bounce chains pass -1 for retired rays)."""
@@ -109,7 +112,7 @@ def test_tmax_seed_and_negative_cull(rng, icosphere_packed, name):
     np.testing.assert_allclose(t_p[keep], t_ref[keep], rtol=1e-6)
 
 
-@pytest.mark.parametrize("name", ["mk3", "mk4"])
+@pytest.mark.parametrize("name", ["mk3", "mk4", "wide"])
 def test_any_hit_occlusion(rng, icosphere_packed, name):
     """any_hit mode: the occlusion predicate (some hit with t < t_max)
     must match the nearest-hit derivation, lane for lane."""
@@ -131,7 +134,7 @@ def test_any_hit_occlusion(rng, icosphere_packed, name):
     assert (t_p[v] > 0).all() and (t_p[v] < tm[v]).all()
 
 
-@pytest.mark.parametrize("name", ["mk3", "mk4"])
+@pytest.mark.parametrize("name", ["mk3", "mk4", "wide"])
 def test_all_dead_tile(rng, icosphere_packed, name):
     """A tile whose lanes are ALL culled must exit at the root and
     report misses (the bounce chain's dead-segment fast path)."""
@@ -142,6 +145,21 @@ def test_all_dead_tile(rng, icosphere_packed, name):
     t_p, i_p, _ = KERNELS[name](packed, o, d, t_max=tm, interpret=True)
     assert (np.asarray(i_p) == -1).all()
     assert not np.isfinite(np.asarray(t_p)).any()
+
+
+def test_wide_arity8(rng, icosphere_packed):
+    """The collapse arity is a config knob (RenderConfig.bvh_arity) — the
+    8-wide tree must be traversal-identical to the binary reference."""
+    _, packed4 = icosphere_packed
+    packed8 = widen(packed4, arity=8)
+    assert packed8.wide.shape[1] == 64
+    o, d = _rand_rays(rng, 700)
+    t_ref, i_ref, _ = bvhmod.traverse(packed8.bvh, o, d)
+    t_w, i_w, _ = traverse_wide(packed8, o, d, interpret=True)
+    np.testing.assert_array_equal(np.asarray(i_w), np.asarray(i_ref))
+    hit = np.isfinite(np.asarray(t_ref))
+    np.testing.assert_allclose(np.asarray(t_w)[hit],
+                               np.asarray(t_ref)[hit], rtol=1e-6)
 
 
 def test_mk3_mk4_bitwise_agree(rng, icosphere_packed):

@@ -508,12 +508,14 @@ def prepare_bvh(scene, cfg):
         kernel = "xla" if jax.default_backend() == "cpu" else "pallas"
     verts = canonical_winding(np.asarray(scene.meshes.verts),
                               np.asarray(scene.meshes.normals))
-    if kernel.startswith("pallas") or kernel == "mega":
+    if kernel.startswith("pallas") or kernel in ("mega", "wide"):
         from unity_raytracer_tpu.ops.pallas.traverse_mk3 import (
             PALLAS_LEAF, pack_rows)
+        from unity_raytracer_tpu.ops.pallas.traverse_wide import widen
         b = build(verts, np.asarray(scene.meshes.valid),
                   leaf_size=PALLAS_LEAF)
-        packed = pack_rows(dataclasses.replace(b, canonical=True))
+        packed = widen(pack_rows(dataclasses.replace(b, canonical=True)),
+                       arity=getattr(cfg, "bvh_arity", 4))
         # per-leaf-slot combined-material id (sphere ++ loose ++ mesh
         # table order, matching ops/pallas/mega.build_aux) for the fused
         # segment megakernel
@@ -564,6 +566,11 @@ def traverse_any(bvh: MeshBVH, o: jnp.ndarray, d: jnp.ndarray,
         if kernel == "pallas3":
             return traverse_packet3(bvh, o, d, t_max=t_max,
                                     any_hit=any_hit, interpret=interpret)
+        if kernel == "wide" and bvh.wide is not None:
+            from unity_raytracer_tpu.ops.pallas.traverse_wide import (
+                traverse_wide)
+            return traverse_wide(bvh, o, d, t_max=t_max, any_hit=any_hit,
+                                 interpret=interpret)
         # default pallas: ordered near-first traversal (traverse_mk4)
         from unity_raytracer_tpu.ops.pallas.traverse_mk4 import (
             traverse_packet4)

@@ -56,9 +56,226 @@ from jax.experimental.pallas import tpu as pltpu
 
 from unity_raytracer_tpu.ops.pallas.traverse_mk3 import (
     _BIG, EPS, PALLAS_LEAF, TILE_R, PackedBVH)
-from unity_raytracer_tpu.ops.pallas.traverse_mk4 import STACK
+from unity_raytracer_tpu.ops.pallas.traverse_mk4 import STACK as STACK_BIN
+from unity_raytracer_tpu.ops.pallas.traverse_wide import (
+    _INF, STACK as STACK_WIDE, sort_network)
 
 SHADOW_EPS = 1e-4  # ShadowRayEpsilon, RayTracingSetup.cs:42
+
+
+def _wide_expand(nodes_ref, stack_ref, stack_tn_ref, node, sp, expand,
+                 rays, arity):
+    """Wide-node interior step (ops/pallas/traverse_wide layout): packet
+    slab-test all ``arity`` child boxes of ``node`` against every ray set
+    in ``rays`` (a list of ``(ox, oy, oz, inv_x, inv_y, inv_z, best_t)``
+    tuples — one per fused query, e.g. one per light for the fused shadow
+    walk), sort hits by the minimum packet entry distance over all sets,
+    push far-to-near (leaf children encoded as ``-(tris_row+2)``).
+    Returns the new stack pointer."""
+    keys = []
+    encs = []
+    for cslot in range(arity):
+        b = 8 * cslot
+        lx = nodes_ref[node, b]
+        ly = nodes_ref[node, b + 1]
+        lz = nodes_ref[node, b + 2]
+        hx = nodes_ref[node, b + 3]
+        hy = nodes_ref[node, b + 4]
+        hz = nodes_ref[node, b + 5]
+        meta = nodes_ref[node, b + 6].astype(jnp.int32)
+        cnt = nodes_ref[node, b + 7]
+        key = _INF
+        for (ox, oy, oz, inv_x, inv_y, inv_z, best_t) in rays:
+            t1 = (lx - ox) * inv_x
+            t2 = (hx - ox) * inv_x
+            tn = jnp.minimum(t1, t2)
+            tf = jnp.maximum(t1, t2)
+            t1 = (ly - oy) * inv_y
+            t2 = (hy - oy) * inv_y
+            tn = jnp.maximum(tn, jnp.minimum(t1, t2))
+            tf = jnp.minimum(tf, jnp.maximum(t1, t2))
+            t1 = (lz - oz) * inv_z
+            t2 = (hz - oz) * inv_z
+            tn = jnp.maximum(tn, jnp.minimum(t1, t2))
+            tf = jnp.minimum(tf, jnp.maximum(t1, t2))
+            tn = jnp.maximum(tn, 0.0)
+            lane_hit = (tn <= tf) & (tn <= best_t)
+            tn_min = jnp.min(jnp.where(lane_hit, tn, _INF))
+            key = jnp.minimum(key, tn_min)
+        hit_c = jnp.isfinite(key) & expand & (cnt >= 0.0)
+        keys.append(jnp.where(hit_c, key, _INF))
+        encs.append(jnp.where(cnt > 0.0, -(meta + 2), meta))
+
+    for (i, j) in sort_network(arity):
+        swap = keys[i] > keys[j]
+        ki = jnp.where(swap, keys[j], keys[i])
+        kj = jnp.where(swap, keys[i], keys[j])
+        ei = jnp.where(swap, encs[j], encs[i])
+        ej = jnp.where(swap, encs[i], encs[j])
+        keys[i], keys[j], encs[i], encs[j] = ki, kj, ei, ej
+
+    for i in range(arity - 1, -1, -1):
+        h = jnp.isfinite(keys[i])
+
+        @pl.when(h)
+        def _(i=i, sp=sp):
+            stack_ref[sp] = encs[i]
+            stack_tn_ref[sp] = keys[i]
+        sp = jnp.where(h, sp + 1, sp)
+    return sp
+
+
+def _wide_pop(stack_ref, stack_tn_ref, sp, cur_max):
+    """Pop the top stack entry, first dropping entries whose recorded
+    entry distance can no longer beat any lane (traverse_mk4's prune).
+    Returns (cursor, sp); cursor == -1 means the stack is exhausted."""
+    def pop_cond(s):
+        sp_, _ = s
+        stale = stack_tn_ref[jnp.maximum(sp_ - 1, 0)] > cur_max
+        return (sp_ > 0) & stale
+
+    sp, _ = jax.lax.while_loop(pop_cond, lambda s: (s[0] - 1, s[1]),
+                               (sp, jnp.int32(0)))
+    has = sp > 0
+    cursor = jnp.where(has, stack_ref[jnp.maximum(sp - 1, 0)],
+                       jnp.int32(-1))
+    sp = jnp.where(has, sp - 1, sp)
+    return cursor, sp
+
+
+def _occluded_fused(nodes_ref, tris_ref, aux_ref, rays,
+                    n_lights, n_spheres, n_tris,
+                    stack_ref, stack_tn_ref, arity):
+    """Fused any-hit occlusion for ALL lights in ONE wide stack walk.
+
+    ``rays``: per light ``(sx, sy, sz, ldx, ldy, ldz, tmax)`` with
+    ``tmax`` the light distance (< 0 = lane needs no query). The
+    per-light walks over one tile visit heavily overlapping node sets;
+    fusing pays the per-step scalar-load/loop overhead ONCE for the
+    union instead of once per light — the walk count per segment drops
+    from 1+L to 2. Returns a list of per-light occlusion masks (same
+    semantics as _occluded, including the scene-AABB gate).
+    """
+    L = len(rays)
+    tiny = 1e-30
+    fix = lambda v: jnp.where(jnp.abs(v) < tiny,
+                              jnp.where(v < 0, -tiny, tiny), v)
+
+    def slab1(o3, inv3, lx, ly, lz, hx, hy, hz, best):
+        sx, sy, sz = o3
+        ix, iy, iz = inv3
+        t1 = (lx - sx) * ix
+        t2 = (hx - sx) * ix
+        tn = jnp.minimum(t1, t2)
+        tf = jnp.maximum(t1, t2)
+        t1 = (ly - sy) * iy
+        t2 = (hy - sy) * iy
+        tn = jnp.maximum(tn, jnp.minimum(t1, t2))
+        tf = jnp.minimum(tf, jnp.maximum(t1, t2))
+        t1 = (lz - sz) * iz
+        t2 = (hz - sz) * iz
+        tn = jnp.maximum(tn, jnp.minimum(t1, t2))
+        tf = jnp.minimum(tf, jnp.maximum(t1, t2))
+        tn = jnp.maximum(tn, 0.0)
+        return (tn <= tf) & (tn <= best)
+
+    def mt1(o3, d3, v0x, v0y, v0z, v1x, v1y, v1z, v2x, v2y, v2z):
+        sx, sy, sz = o3
+        dx_, dy_, dz_ = d3
+        e1x, e1y, e1z = v1x - v0x, v1y - v0y, v1z - v0z
+        e2x, e2y, e2z = v2x - v0x, v2y - v0y, v2z - v0z
+        px_ = dy_ * e2z - dz_ * e2y
+        py_ = dz_ * e2x - dx_ * e2z
+        pz_ = dx_ * e2y - dy_ * e2x
+        det = e1x * px_ + e1y * py_ + e1z * pz_
+        par = jnp.abs(det) < EPS
+        f = 1.0 / jnp.where(par, 1.0, det)
+        qx_, qy_, qz_ = sx - v0x, sy - v0y, sz - v0z
+        u = f * (qx_ * px_ + qy_ * py_ + qz_ * pz_)
+        cx_ = qy_ * e1z - qz_ * e1y
+        cy_ = qz_ * e1x - qx_ * e1z
+        cz_ = qx_ * e1y - qy_ * e1x
+        v = f * (dx_ * cx_ + dy_ * cy_ + dz_ * cz_)
+        t = f * (e2x * cx_ + e2y * cy_ + e2z * cz_)
+        ok = (~par & (u >= 0.0) & (u <= 1.0) & (v >= 0.0)
+              & (u + v <= 1.0) & (t > EPS))
+        return ok, t
+
+    invs, bests, best0s = [], [], []
+    for (sx, sy, sz, ldx, ldy, ldz, tmax) in rays:
+        inv = (1.0 / fix(ldx), 1.0 / fix(ldy), 1.0 / fix(ldz))
+        in_box = slab1((sx, sy, sz), inv,
+                       aux_ref[0, 0], aux_ref[0, 1], aux_ref[0, 2],
+                       aux_ref[0, 3], aux_ref[0, 4], aux_ref[0, 5],
+                       jnp.full(sx.shape, _BIG, jnp.float32))
+        best = jnp.where(in_box, tmax, -1.0)
+        # spheres + loose tris prepass (cheap, retires lanes pre-walk)
+        for s in range(n_spheres):
+            r = 1 + n_lights + s
+            ocx = sx - aux_ref[r, 0]
+            ocy = sy - aux_ref[r, 1]
+            ocz = sz - aux_ref[r, 2]
+            r2 = aux_ref[r, 3]
+            svalid = aux_ref[r, 4] > 0.0
+            uoc = ldx * ocx + ldy * ocy + ldz * ocz
+            oc2 = ocx * ocx + ocy * ocy + ocz * ocz
+            disc = uoc * uoc - (oc2 - r2)
+            sq = jnp.sqrt(jnp.maximum(disc, 0.0))
+            big = -uoc + sq
+            small = -uoc - sq
+            t_s = jnp.where(small < 0.0, big, small)
+            ok = (disc >= 0.0) & (big >= 0.0) & svalid
+            best = jnp.where(ok & (t_s < best), -1.0, best)
+        for tt in range(n_tris):
+            r = 1 + n_lights + n_spheres + tt
+            ok, t_t = mt1((sx, sy, sz), (ldx, ldy, ldz),
+                          *tuple(aux_ref[r, j] for j in range(9)))
+            ok = ok & (aux_ref[r, 12] > 0.0)
+            best = jnp.where(ok & (t_t < best), -1.0, best)
+        invs.append(inv)
+        bests.append(best)
+        best0s.append(jnp.where(in_box, tmax, -1.0))
+
+    def body(c):
+        cursor, sp = c[0], c[1]
+        bests = list(c[2:])
+        is_leafe = cursor < -1
+        leaf_row = jnp.maximum(-cursor - 2, 0)
+
+        def leaf_tests(bests):
+            bests = list(bests)
+            for k in range(PALLAS_LEAF):
+                b = 9 * k
+                vs = tuple(tris_ref[leaf_row, b + j] for j in range(9))
+                for l in range(L):
+                    sx, sy, sz, ldx, ldy, ldz, _ = rays[l]
+                    ok, t = mt1((sx, sy, sz), (ldx, ldy, ldz), *vs)
+                    bests[l] = jnp.where(ok & (t < bests[l]), -1.0,
+                                         bests[l])
+            return tuple(bests)
+
+        bests = list(jax.lax.cond(is_leafe, leaf_tests,
+                                  lambda b: b, tuple(bests)))
+        node = jnp.maximum(cursor, 0)
+        ray_sets = [(rays[l][0], rays[l][1], rays[l][2],
+                     invs[l][0], invs[l][1], invs[l][2], bests[l])
+                    for l in range(L)]
+        sp = _wide_expand(nodes_ref, stack_ref, stack_tn_ref, node, sp,
+                          cursor >= 0, ray_sets, arity)
+        cur_max = functools.reduce(jnp.maximum,
+                                   [jnp.max(b) for b in bests])
+        cursor, sp = _wide_pop(stack_ref, stack_tn_ref, sp, cur_max)
+        return (cursor, sp, *bests)
+
+    def cond(c):
+        live = functools.reduce(jnp.logical_or,
+                                [jnp.any(b > 0.0) for b in c[2:]])
+        return (c[0] != -1) & live
+
+    out = jax.lax.while_loop(cond, body,
+                             (jnp.int32(0), jnp.int32(0), *bests))
+    bests = out[2:]
+    return [(bests[l] < 0.0) & (best0s[l] > 0.0) for l in range(L)]
 
 
 def _kernel(depth_ref,
@@ -70,7 +287,7 @@ def _kernel(depth_ref,
             tmo_ref, tro_ref, tgo_ref, tbo_ref,
             stack_ref, stack_tn_ref,
             *, n_lights: int, n_spheres: int, n_tris: int, n_mats: int,
-            max_bounces: int):
+            max_bounces: int, arity: int = 0, fuse: bool = True):
     tile = ox_ref.shape[0]
     live_in = tmax_ref[:] >= 0.0
 
@@ -157,7 +374,44 @@ def _kernel(depth_ref,
                 jnp.maximum(cx * cx + cy * cy + cz * cz, 1e-60))
             return cx * inv, cy * inv, cz * inv
 
-        # ---- nearest mesh hit: ordered descent (traverse_mk4) ----------
+        # ---- nearest mesh hit ------------------------------------------
+        # arity > 0: wide-node ordered walk (traverse_wide layout in
+        # nodes_ref); arity == 0: binary ordered descent (traverse_mk4)
+        def near_body_wide(c):
+            cursor, sp, best_t, bnx, bny, bnz, bmat = c
+            is_leafe = cursor < -1
+            leaf_row = jnp.maximum(-cursor - 2, 0)
+
+            def leaf_tests(args):
+                best_t, bnx, bny, bnz, bmat = args
+                for k in range(PALLAS_LEAF):
+                    b = 9 * k
+                    vs = tuple(tris_ref[leaf_row, b + j] for j in range(9))
+                    ok, t = mt(*vs)
+                    # pad slots are all-zero triangles -> det==0 reject;
+                    # no per-leaf count needed in the wide encoding
+                    upd = ok & (t < best_t)
+                    nx, ny, nz = tri_normal(*vs)
+                    mid = leafmeta_ref[leaf_row, k]
+                    best_t = jnp.where(upd, t, best_t)
+                    bnx = jnp.where(upd, nx, bnx)
+                    bny = jnp.where(upd, ny, bny)
+                    bnz = jnp.where(upd, nz, bnz)
+                    bmat = jnp.where(upd, mid, bmat)
+                return best_t, bnx, bny, bnz, bmat
+
+            best_t, bnx, bny, bnz, bmat = jax.lax.cond(
+                is_leafe, leaf_tests, lambda a: a,
+                (best_t, bnx, bny, bnz, bmat))
+            node = jnp.maximum(cursor, 0)
+            sp = _wide_expand(nodes_ref, stack_ref, stack_tn_ref, node,
+                              sp, cursor >= 0,
+                              [(ox, oy, oz, inv_dx, inv_dy, inv_dz,
+                                best_t)], arity)
+            cursor, sp = _wide_pop(stack_ref, stack_tn_ref, sp,
+                                   jnp.max(best_t))
+            return cursor, sp, best_t, bnx, bny, bnz, bmat
+
         def near_body(c):
             cursor, sp, best_t, bnx, bny, bnz, bmat = c
             any_lane, _ = box_test(cursor, best_t)
@@ -225,7 +479,8 @@ def _kernel(depth_ref,
         zeros = jnp.zeros((tile,), jnp.float32)
         best_t0 = jnp.where(live_in, _BIG, -1.0)
         _, _, best_t, bnx, bny, bnz, bmat = jax.lax.while_loop(
-            lambda c: c[0] >= 0, near_body,
+            (lambda c: c[0] != -1) if arity else (lambda c: c[0] >= 0),
+            near_body_wide if arity else near_body,
             (jnp.int32(0), jnp.int32(0), best_t0, zeros, zeros, zeros,
              jnp.full((tile,), -1.0, jnp.float32)))
 
@@ -300,10 +555,17 @@ def _kernel(depth_ref,
         col_g = ka_g * amb_g
         col_b = ka_b * amb_b
 
+        # shadow ray origin p + n*eps (:330-333) — light-independent
+        sx = px + bnx * SHADOW_EPS
+        sy = py + bny * SHADOW_EPS
+        sz = pz + bnz * SHADOW_EPS
+
+        # per-light geometry pass (static unroll; all vectors stay live
+        # across the fused occlusion walk — ~10 tile-vectors per light)
+        geo = []
         for l in range(n_lights):
             r = 1 + l
             lx_, ly_, lz_ = aux_ref[r, 0], aux_ref[r, 1], aux_ref[r, 2]
-            ir_, ig_, ib_ = aux_ref[r, 3], aux_ref[r, 4], aux_ref[r, 5]
             lvalid = aux_ref[r, 6] > 0.0
             lvx, lvy, lvz = lx_ - px, ly_ - py, lz_ - pz
             ld2 = lvx * lvx + lvy * lvy + lvz * lvz
@@ -312,14 +574,28 @@ def _kernel(depth_ref,
             ldx, ldy, ldz = lvx * linv, lvy * linv, lvz * linv
             ln = ldx * bnx + ldy * bny + ldz * bnz
             need = hit & (ln >= 0.0) & lvalid
+            geo.append((ldx, ldy, ldz, ln, need, ldist, ld2))
 
-            # shadow ray from p + n*eps toward the light (:330-333)
-            sx = px + bnx * SHADOW_EPS
-            sy = py + bny * SHADOW_EPS
-            sz = pz + bnz * SHADOW_EPS
-            occ = _occluded(nodes_ref, tris_ref, aux_ref, sx, sy, sz,
-                            ldx, ldy, ldz, jnp.where(need, ldist, -1.0),
-                            n_lights, n_spheres, n_tris)
+        if arity and n_lights and fuse:
+            occs = _occluded_fused(
+                nodes_ref, tris_ref, aux_ref,
+                [(sx, sy, sz, g[0], g[1], g[2],
+                  jnp.where(g[4], g[5], -1.0)) for g in geo],
+                n_lights, n_spheres, n_tris,
+                stack_ref, stack_tn_ref, arity)
+        else:
+            occs = [
+                _occluded(nodes_ref, tris_ref, aux_ref, sx, sy, sz,
+                          g[0], g[1], g[2], jnp.where(g[4], g[5], -1.0),
+                          n_lights, n_spheres, n_tris,
+                          stack_ref, stack_tn_ref, arity)
+                for g in geo]
+
+        for l in range(n_lights):
+            r = 1 + l
+            ir_, ig_, ib_ = aux_ref[r, 3], aux_ref[r, 4], aux_ref[r, 5]
+            ldx, ldy, ldz, ln, need, ldist, ld2 = geo[l]
+            occ = occs[l]
 
             irr = 1.0 / jnp.maximum(ld2, 1e-60)   # Intensity/d^2 (:350)
             lit = need & ~occ
@@ -374,8 +650,11 @@ def _kernel(depth_ref,
 
 
 def _occluded(nodes_ref, tris_ref, aux_ref, sx, sy, sz, ldx, ldy, ldz,
-              tmax, n_lights, n_spheres, n_tris):
-    """Embedded any-hit occlusion query (threaded traversal order).
+              tmax, n_lights, n_spheres, n_tris,
+              stack_ref=None, stack_tn_ref=None, arity=0):
+    """Embedded any-hit occlusion query (wide stack walk when ``arity``,
+    else binary threaded traversal order — ordering buys little for
+    any-hit, but the wide layout still quarters the step count).
 
     ``tmax`` is the light distance per lane, -1 for lanes that need no
     query. Returns a bool mask: some primitive with t < tmax (strictly:
@@ -455,6 +734,37 @@ def _occluded(nodes_ref, tris_ref, aux_ref, sx, sy, sz, ldx, ldy, ldz,
         ok = ok & (aux_ref[r, 12] > 0.0)
         best = jnp.where(ok & (t_t < best), -1.0, best)
 
+    if arity:
+        def body_w(c):
+            cursor, sp, best = c
+            is_leafe = cursor < -1
+            leaf_row = jnp.maximum(-cursor - 2, 0)
+
+            def leaf_tests(best):
+                for k in range(PALLAS_LEAF):
+                    b = 9 * k
+                    ok, t = mt(*tuple(tris_ref[leaf_row, b + j]
+                                      for j in range(9)))
+                    best = jnp.where(ok & (t < best), -1.0, best)
+                return best
+
+            best = jax.lax.cond(is_leafe, leaf_tests, lambda b: b, best)
+            node = jnp.maximum(cursor, 0)
+            sp = _wide_expand(nodes_ref, stack_ref, stack_tn_ref, node,
+                              sp, cursor >= 0,
+                              [(sx, sy, sz, inv_x, inv_y, inv_z, best)],
+                              arity)
+            cursor, sp = _wide_pop(stack_ref, stack_tn_ref, sp,
+                                   jnp.max(best))
+            return cursor, sp, best
+
+        def cond_w(c):
+            return (c[0] != -1) & jnp.any(c[2] > 0.0)
+
+        _, _, best = jax.lax.while_loop(
+            cond_w, body_w, (jnp.int32(0), jnp.int32(0), best))
+        return (best < 0.0) & (best0 > 0.0)
+
     def body(c):
         cursor, best = c
         lane_hit = slab(nodes_ref[cursor, 0], nodes_ref[cursor, 1],
@@ -530,12 +840,17 @@ def trace_segment(packed: PackedBVH, aux: jnp.ndarray, depth: jnp.ndarray,
                   o: jnp.ndarray, d: jnp.ndarray, thr: jnp.ndarray,
                   tmax: jnp.ndarray, *, n_lights: int, n_spheres: int,
                   n_tris: int, max_bounces: int, interpret: bool = False,
-                  tile_r: int = TILE_R):
+                  tile_r: int = TILE_R, use_wide: bool | None = None,
+                  fuse_shadows: bool = True):
     """One fused bounce segment over all rays.
 
     Returns ``(delta [N,3], o' [N,3], d' [N,3], thr' [N,3], tmax' [N])``:
     radiance contribution (throughput-weighted, 0-255 scale) and the
     continuation rays (``tmax' < 0`` = retired).
+
+    ``use_wide``: walk the wide (BVH4/8) node rows instead of the binary
+    layout — the measured step-count win (docs/KERNELS.md). Default: wide
+    whenever ``packed.wide`` exists (prepare_bvh builds it).
     """
     if packed.leafmeta is None:
         raise ValueError("PackedBVH.leafmeta missing — build the BVH via "
@@ -557,6 +872,13 @@ def trace_segment(packed: PackedBVH, aux: jnp.ndarray, depth: jnp.ndarray,
     total = ox.shape[0]
     n_mats = aux.shape[0] - (1 + n_lights + n_spheres + n_tris)
 
+    if use_wide is None:
+        use_wide = packed.wide is not None
+    use_wide = bool(use_wide) and packed.wide is not None
+    arity = packed.wide.shape[1] // 8 if use_wide else 0
+    nodes = packed.wide if use_wide else packed.nodes
+    stack_n = STACK_WIDE if use_wide else STACK_BIN
+
     grid = (total // tile_r,)
     tile = pl.BlockSpec((tile_r,), lambda i: (i,), memory_space=pltpu.VMEM)
     rep = lambda *shape: pl.BlockSpec(
@@ -567,17 +889,18 @@ def trace_segment(packed: PackedBVH, aux: jnp.ndarray, depth: jnp.ndarray,
     outs = pl.pallas_call(
         functools.partial(_kernel, n_lights=n_lights, n_spheres=n_spheres,
                           n_tris=n_tris, n_mats=n_mats,
-                          max_bounces=max_bounces),
+                          max_bounces=max_bounces, arity=arity,
+                          fuse=fuse_shadows),
         grid=grid,
         in_specs=[smem1,
                   tile, tile, tile, tile, tile, tile, tile,
                   tile, tile, tile,
-                  rep(*packed.nodes.shape), rep(*packed.tris.shape),
+                  rep(*nodes.shape), rep(*packed.tris.shape),
                   rep(*packed.leafmeta.shape), rep(*aux.shape)],
         out_specs=tuple([tile] * 13),
         out_shape=tuple([jax.ShapeDtypeStruct((total,), jnp.float32)] * 13),
-        scratch_shapes=[pltpu.SMEM((STACK,), jnp.int32),
-                        pltpu.SMEM((STACK,), jnp.float32)],
+        scratch_shapes=[pltpu.SMEM((stack_n,), jnp.int32),
+                        pltpu.SMEM((stack_n,), jnp.float32)],
         # resident blocks total ~21MB with 128-lane padding (nodes 10.7 +
         # tris 5.3 + leafmeta 5.3): above Mosaic's conservative 16MB
         # default scoped-vmem limit, well under the chip's physical VMEM
@@ -585,7 +908,7 @@ def trace_segment(packed: PackedBVH, aux: jnp.ndarray, depth: jnp.ndarray,
             vmem_limit_bytes=100 * 1024 * 1024),
         interpret=interpret,
     )(jnp.asarray(depth, jnp.int32).reshape(1), ox, oy, oz, dx, dy, dz,
-      tm, tr, tg, tb, packed.nodes, packed.tris, packed.leafmeta, aux)
+      tm, tr, tg, tb, nodes, packed.tris, packed.leafmeta, aux)
 
     (dr, dg, db, oxo, oyo, ozo, dxo, dyo, dzo, tmo, tro, tgo, tbo) = outs
     cut = lambda x: x[:n]

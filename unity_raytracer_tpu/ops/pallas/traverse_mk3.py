@@ -47,6 +47,10 @@ class PackedBVH(NamedTuple):
     # small ints) — consumed by the fused segment megakernel
     # (ops/pallas/mega.py); built by ops/bvh.prepare_bvh (needs the scene)
     leafmeta: jnp.ndarray | None = None
+    # [Nw, 8*arity] f32 wide (BVH4/8) interior rows — built by
+    # traverse_wide.widen on top of this packed layout; leaf rows are
+    # shared. Consumed by traverse_wide + the wide megakernel walks.
+    wide: jnp.ndarray | None = None
 
 
 def pack_rows(bvh: MeshBVH) -> PackedBVH:

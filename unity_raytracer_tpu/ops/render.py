@@ -125,7 +125,9 @@ def _trace_chain_mega(scene: Scene, o: jnp.ndarray, d: jnp.ndarray,
               n_tris=scene.triangles.count,
               max_bounces=cfg.max_bounces,
               interpret=_jax.default_backend() == "cpu",
-              tile_r=cfg.tile_r)
+              tile_r=cfg.tile_r,
+              use_wide=cfg.bvh_arity != 0,
+              fuse_shadows=cfg.fuse_shadows)
 
     acc0 = jnp.zeros((n_rays, 3), jnp.float32)
     thr0 = jnp.ones((n_rays, 3), jnp.float32)

@@ -51,6 +51,11 @@ class RenderConfig:
     tile_r: int = 1024          # packet-kernel tile (rays per shared
     #                             traversal cursor); pair with block_size
     #                             so a tile covers whole pixel blocks
+    bvh_arity: int = 4          # wide-node collapse width for the pallas
+    #                             BVH (ops/pallas/traverse_wide); 4 or 8;
+    #                             0 = binary walks (mk4 layout)
+    fuse_shadows: bool = True   # megakernel: one fused occlusion walk for
+    #                             all lights (wide layout only)
     diff: DiffConfig = field(default_factory=DiffConfig)
 
     def with_(self, **kw) -> "RenderConfig":
