@@ -33,11 +33,13 @@ def cmd_render(args):
     scene, cam, cfg = get_preset(args.preset, **kw)
     if args.depth is not None:
         cfg = cfg.with_(max_bounces=args.depth)
+    if args.bvh:
+        cfg = cfg.with_(use_bvh=True)
     cfg = resolve_mode(scene, cfg)
-    bvh = None
-    if cfg.use_bvh or args.bvh:
-        bvh = bvhmod.build(np.asarray(scene.meshes.verts),
-                           np.asarray(scene.meshes.valid))
+    # route through prepare_bvh (kernel-aware packed/wide layout) so the
+    # CLI demo renders on the same fast path the benchmark times — a bare
+    # MeshBVH would silently fall back to the XLA traversal on TPU
+    bvh = bvhmod.prepare_bvh(scene, cfg) if cfg.use_bvh else None
     t0 = time.perf_counter()
     img = np.asarray(render(scene, cam, cfg, bvh=bvh))
     dt = time.perf_counter() - t0

@@ -58,89 +58,10 @@ from unity_raytracer_tpu.ops.pallas.traverse_mk3 import (
     _BIG, EPS, PALLAS_LEAF, TILE_R, PackedBVH)
 from unity_raytracer_tpu.ops.pallas.traverse_mk4 import STACK as STACK_BIN
 from unity_raytracer_tpu.ops.pallas.traverse_wide import (
-    _INF, STACK as STACK_WIDE, sort_network)
+    _INF, STACK as STACK_WIDE, wide_expand as _wide_expand,
+    wide_pop as _wide_pop)
 
 SHADOW_EPS = 1e-4  # ShadowRayEpsilon, RayTracingSetup.cs:42
-
-
-def _wide_expand(nodes_ref, stack_ref, stack_tn_ref, node, sp, expand,
-                 rays, arity):
-    """Wide-node interior step (ops/pallas/traverse_wide layout): packet
-    slab-test all ``arity`` child boxes of ``node`` against every ray set
-    in ``rays`` (a list of ``(ox, oy, oz, inv_x, inv_y, inv_z, best_t)``
-    tuples — one per fused query, e.g. one per light for the fused shadow
-    walk), sort hits by the minimum packet entry distance over all sets,
-    push far-to-near (leaf children encoded as ``-(tris_row+2)``).
-    Returns the new stack pointer."""
-    keys = []
-    encs = []
-    for cslot in range(arity):
-        b = 8 * cslot
-        lx = nodes_ref[node, b]
-        ly = nodes_ref[node, b + 1]
-        lz = nodes_ref[node, b + 2]
-        hx = nodes_ref[node, b + 3]
-        hy = nodes_ref[node, b + 4]
-        hz = nodes_ref[node, b + 5]
-        meta = nodes_ref[node, b + 6].astype(jnp.int32)
-        cnt = nodes_ref[node, b + 7]
-        key = _INF
-        for (ox, oy, oz, inv_x, inv_y, inv_z, best_t) in rays:
-            t1 = (lx - ox) * inv_x
-            t2 = (hx - ox) * inv_x
-            tn = jnp.minimum(t1, t2)
-            tf = jnp.maximum(t1, t2)
-            t1 = (ly - oy) * inv_y
-            t2 = (hy - oy) * inv_y
-            tn = jnp.maximum(tn, jnp.minimum(t1, t2))
-            tf = jnp.minimum(tf, jnp.maximum(t1, t2))
-            t1 = (lz - oz) * inv_z
-            t2 = (hz - oz) * inv_z
-            tn = jnp.maximum(tn, jnp.minimum(t1, t2))
-            tf = jnp.minimum(tf, jnp.maximum(t1, t2))
-            tn = jnp.maximum(tn, 0.0)
-            lane_hit = (tn <= tf) & (tn <= best_t)
-            tn_min = jnp.min(jnp.where(lane_hit, tn, _INF))
-            key = jnp.minimum(key, tn_min)
-        hit_c = jnp.isfinite(key) & expand & (cnt >= 0.0)
-        keys.append(jnp.where(hit_c, key, _INF))
-        encs.append(jnp.where(cnt > 0.0, -(meta + 2), meta))
-
-    for (i, j) in sort_network(arity):
-        swap = keys[i] > keys[j]
-        ki = jnp.where(swap, keys[j], keys[i])
-        kj = jnp.where(swap, keys[i], keys[j])
-        ei = jnp.where(swap, encs[j], encs[i])
-        ej = jnp.where(swap, encs[i], encs[j])
-        keys[i], keys[j], encs[i], encs[j] = ki, kj, ei, ej
-
-    for i in range(arity - 1, -1, -1):
-        h = jnp.isfinite(keys[i])
-
-        @pl.when(h)
-        def _(i=i, sp=sp):
-            stack_ref[sp] = encs[i]
-            stack_tn_ref[sp] = keys[i]
-        sp = jnp.where(h, sp + 1, sp)
-    return sp
-
-
-def _wide_pop(stack_ref, stack_tn_ref, sp, cur_max):
-    """Pop the top stack entry, first dropping entries whose recorded
-    entry distance can no longer beat any lane (traverse_mk4's prune).
-    Returns (cursor, sp); cursor == -1 means the stack is exhausted."""
-    def pop_cond(s):
-        sp_, _ = s
-        stale = stack_tn_ref[jnp.maximum(sp_ - 1, 0)] > cur_max
-        return (sp_ > 0) & stale
-
-    sp, _ = jax.lax.while_loop(pop_cond, lambda s: (s[0] - 1, s[1]),
-                               (sp, jnp.int32(0)))
-    has = sp > 0
-    cursor = jnp.where(has, stack_ref[jnp.maximum(sp - 1, 0)],
-                       jnp.int32(-1))
-    sp = jnp.where(has, sp - 1, sp)
-    return cursor, sp
 
 
 def _occluded_fused(nodes_ref, tris_ref, aux_ref, rays,
@@ -261,15 +182,15 @@ def _occluded_fused(nodes_ref, tris_ref, aux_ref, rays,
                      invs[l][0], invs[l][1], invs[l][2], bests[l])
                     for l in range(L)]
         sp = _wide_expand(nodes_ref, stack_ref, stack_tn_ref, node, sp,
-                          cursor >= 0, ray_sets, arity)
-        cur_max = functools.reduce(jnp.maximum,
-                                   [jnp.max(b) for b in bests])
+                          cursor >= 0, ray_sets, arity, ordered=False)
+        # elementwise max across light sets first -> ONE cross-lane
+        # reduction (reductions, not flops, drive the per-step cost)
+        cur_max = jnp.max(functools.reduce(jnp.maximum, bests))
         cursor, sp = _wide_pop(stack_ref, stack_tn_ref, sp, cur_max)
         return (cursor, sp, *bests)
 
     def cond(c):
-        live = functools.reduce(jnp.logical_or,
-                                [jnp.any(b > 0.0) for b in c[2:]])
+        live = jnp.any(functools.reduce(jnp.maximum, c[2:]) > 0.0)
         return (c[0] != -1) & live
 
     out = jax.lax.while_loop(cond, body,
@@ -753,7 +674,7 @@ def _occluded(nodes_ref, tris_ref, aux_ref, sx, sy, sz, ldx, ldy, ldz,
             sp = _wide_expand(nodes_ref, stack_ref, stack_tn_ref, node,
                               sp, cursor >= 0,
                               [(sx, sy, sz, inv_x, inv_y, inv_z, best)],
-                              arity)
+                              arity, ordered=False)
             cursor, sp = _wide_pop(stack_ref, stack_tn_ref, sp,
                                    jnp.max(best))
             return cursor, sp, best

@@ -65,6 +65,104 @@ def sort_network(w: int):
     return [(j - 1, j) for i in range(1, w) for j in range(i, 0, -1)]
 
 
+def wide_expand(nodes_ref, stack_ref, stack_tn_ref, node, sp, expand,
+                rays, arity, ordered=True):
+    """Shared wide-node interior step: packet slab-test all ``arity``
+    child boxes of ``node`` against every ray set in ``rays`` (a list of
+    ``(ox, oy, oz, inv_x, inv_y, inv_z, best_t)`` tuples — one per fused
+    query, e.g. one per light for the fused shadow walk) and push the hit
+    children (leaf children encoded as ``-(tris_row+2)``).
+
+    ``ordered=True`` (nearest-hit walks): hits are sorted by packet entry
+    distance (static scalar compare-exchange network) and pushed
+    far-to-near so the nearest child pops first, with the entry distance
+    recorded for the stale-pop prune. ``ordered=False`` (any-hit /
+    occlusion walks, where descent order buys nothing): the sort network
+    is skipped and entries record distance 0.0 — a valid conservative
+    entry bound (box entries are >= 0), so ``wide_pop``'s prune stays
+    correct and fires exactly when every lane has retired.
+
+    Cross-lane reductions are the measured per-step cost driver (VPU
+    reductions, not flops): the per-set entry distances are combined
+    ELEMENTWISE first so each child pays ONE cross-lane min total, not
+    one per ray set. Returns the new stack pointer.
+    """
+    keys = []
+    encs = []
+    for cslot in range(arity):
+        b = 8 * cslot
+        lx = nodes_ref[node, b]
+        ly = nodes_ref[node, b + 1]
+        lz = nodes_ref[node, b + 2]
+        hx = nodes_ref[node, b + 3]
+        hy = nodes_ref[node, b + 4]
+        hz = nodes_ref[node, b + 5]
+        meta = nodes_ref[node, b + 6].astype(jnp.int32)
+        cnt = nodes_ref[node, b + 7]
+        tn_all = None  # elementwise min over ray sets of masked entry t
+        for (ox, oy, oz, inv_x, inv_y, inv_z, best_t) in rays:
+            t1 = (lx - ox) * inv_x
+            t2 = (hx - ox) * inv_x
+            tn = jnp.minimum(t1, t2)
+            tf = jnp.maximum(t1, t2)
+            t1 = (ly - oy) * inv_y
+            t2 = (hy - oy) * inv_y
+            tn = jnp.maximum(tn, jnp.minimum(t1, t2))
+            tf = jnp.minimum(tf, jnp.maximum(t1, t2))
+            t1 = (lz - oz) * inv_z
+            t2 = (hz - oz) * inv_z
+            tn = jnp.maximum(tn, jnp.minimum(t1, t2))
+            tf = jnp.minimum(tf, jnp.maximum(t1, t2))
+            tn = jnp.maximum(tn, 0.0)
+            lane_hit = (tn <= tf) & (tn <= best_t)
+            masked = jnp.where(lane_hit, tn, _BIG)
+            tn_all = masked if tn_all is None else jnp.minimum(tn_all,
+                                                               masked)
+        key = jnp.min(tn_all)  # the ONE cross-lane reduction per child
+        hit_c = (key < _BIG) & expand & (cnt >= 0.0)
+        keys.append(jnp.where(hit_c, key if ordered else 0.0, _INF))
+        encs.append(jnp.where(cnt > 0.0, -(meta + 2), meta))
+
+    if ordered:
+        for (i, j) in sort_network(arity):
+            swap = keys[i] > keys[j]
+            ki = jnp.where(swap, keys[j], keys[i])
+            kj = jnp.where(swap, keys[i], keys[j])
+            ei = jnp.where(swap, encs[j], encs[i])
+            ej = jnp.where(swap, encs[i], encs[j])
+            keys[i], keys[j], encs[i], encs[j] = ki, kj, ei, ej
+
+    # far-to-near push; after the sort, hits (finite key) form a prefix,
+    # so sp stays compact (unordered: prefix property is irrelevant)
+    for i in range(arity - 1, -1, -1):
+        h = jnp.isfinite(keys[i])
+
+        @pl.when(h)
+        def _(i=i, sp=sp):
+            stack_ref[sp] = encs[i]
+            stack_tn_ref[sp] = keys[i]
+        sp = jnp.where(h, sp + 1, sp)
+    return sp
+
+
+def wide_pop(stack_ref, stack_tn_ref, sp, cur_max):
+    """Pop the top stack entry, first dropping entries whose recorded
+    entry distance can no longer beat any lane (traverse_mk4's prune).
+    Returns (cursor, sp); cursor == -1 means the stack is exhausted."""
+    def pop_cond(s):
+        sp_, _ = s
+        stale = stack_tn_ref[jnp.maximum(sp_ - 1, 0)] > cur_max
+        return (sp_ > 0) & stale
+
+    sp, _ = jax.lax.while_loop(pop_cond, lambda s: (s[0] - 1, s[1]),
+                               (sp, jnp.int32(0)))
+    has = sp > 0
+    cursor = jnp.where(has, stack_ref[jnp.maximum(sp - 1, 0)],
+                       jnp.int32(-1))
+    sp = jnp.where(has, sp - 1, sp)
+    return cursor, sp
+
+
 def widen(packed: PackedBVH, arity: int = DEFAULT_ARITY) -> PackedBVH:
     """Host-side collapse of the packed binary tree into an arity-wide
     tree (numpy). Returns ``packed`` with the ``wide`` field filled.
@@ -76,6 +174,12 @@ def widen(packed: PackedBVH, arity: int = DEFAULT_ARITY) -> PackedBVH:
     (they are the ones rays hit most).
     """
     import sys
+
+    if arity < 2:
+        # binary walks (bvh_arity=0/1): no wide collapse — leave
+        # packed.wide as None; trace_segment/traverse_any route the
+        # mk3/mk4 binary layout when wide is absent
+        return packed
 
     nodes = np.asarray(packed.nodes)
     nmin = nodes[:, 0:3]
@@ -104,21 +208,33 @@ def widen(packed: PackedBVH, arity: int = DEFAULT_ARITY) -> PackedBVH:
 
     rows: list[list[int]] = []
     widx: dict[int, int] = {}
+    depth = [0]  # max wide-tree depth, for the stack-capacity check
     if is_leaf[0]:
         rows.append([0])  # degenerate: root is a single leaf
     else:
         sys.setrecursionlimit(200_000)
 
-        def assign(b):
+        def assign(b, lvl=1):
             widx[b] = len(rows)
             rows.append([])
             kids = collapse_children(b)
             rows[widx[b]] = kids
+            depth[0] = max(depth[0], lvl)
             for k in kids:
                 if not is_leaf[k]:
-                    assign(k)
+                    assign(k, lvl + 1)
 
         assign(0)
+
+    # the traversal pushes at most (arity-1) residual entries per level
+    # plus arity at the deepest expansion; the kernels keep the SMEM
+    # stack unguarded, so a pathological tree must fail HERE, host-side
+    need = (arity - 1) * depth[0] + arity
+    if need > STACK:
+        raise ValueError(
+            f"wide-tree depth {depth[0]} needs stack {need} > {STACK}; "
+            "tree is pathologically deep — rebuild with a larger leaf "
+            "size or raise STACK")
 
     out = np.zeros((len(rows), 8 * arity), np.float32)
     out[:, 7::8] = -1.0  # absent slots
@@ -204,73 +320,15 @@ def _kernel(ox_ref, oy_ref, oz_ref, dx_ref, dy_ref, dz_ref, tmax_ref,
             is_leafe, leaf_tests, lambda a: a,
             (best_t, best_slot, best_leaf))
 
-        # ---- interior entry: test all child boxes, sort, push -----------
+        # ---- interior entry: shared wide expand + stale-pruned pop ------
+        # (any-hit walks push unordered — descent order buys nothing)
         node = jnp.maximum(cursor, 0)
-        expand = cursor >= 0
-        keys = []
-        encs = []
-        for cslot in range(arity):
-            b = 8 * cslot
-            lx = wide_ref[node, b]
-            ly = wide_ref[node, b + 1]
-            lz = wide_ref[node, b + 2]
-            hx = wide_ref[node, b + 3]
-            hy = wide_ref[node, b + 4]
-            hz = wide_ref[node, b + 5]
-            meta = wide_ref[node, b + 6].astype(jnp.int32)
-            cnt = wide_ref[node, b + 7]
-            t1 = (lx - ox) * inv_dx
-            t2 = (hx - ox) * inv_dx
-            tn = jnp.minimum(t1, t2)
-            tf = jnp.maximum(t1, t2)
-            t1 = (ly - oy) * inv_dy
-            t2 = (hy - oy) * inv_dy
-            tn = jnp.maximum(tn, jnp.minimum(t1, t2))
-            tf = jnp.minimum(tf, jnp.maximum(t1, t2))
-            t1 = (lz - oz) * inv_dz
-            t2 = (hz - oz) * inv_dz
-            tn = jnp.maximum(tn, jnp.minimum(t1, t2))
-            tf = jnp.minimum(tf, jnp.maximum(t1, t2))
-            tn = jnp.maximum(tn, 0.0)
-            lane_hit = (tn <= tf) & (tn <= best_t)
-            hit_c = jnp.any(lane_hit) & expand & (cnt >= 0.0)
-            tn_min = jnp.min(jnp.where(lane_hit, tn, _BIG))
-            keys.append(jnp.where(hit_c, tn_min, _INF))
-            encs.append(jnp.where(cnt > 0.0, -(meta + 2), meta))
-
-        for (i, j) in sort_network(arity):
-            swap = keys[i] > keys[j]
-            ki = jnp.where(swap, keys[j], keys[i])
-            kj = jnp.where(swap, keys[i], keys[j])
-            ei = jnp.where(swap, encs[j], encs[i])
-            ej = jnp.where(swap, encs[i], encs[j])
-            keys[i], keys[j], encs[i], encs[j] = ki, kj, ei, ej
-
-        # push far-to-near so the nearest child pops first; after the
-        # sort, hits (finite key) form a prefix, so sp stays compact
-        for i in range(arity - 1, -1, -1):
-            h = jnp.isfinite(keys[i])
-
-            @pl.when(h)
-            def _(i=i, sp=sp):
-                stack_ref[sp] = encs[i]
-                stack_tn_ref[sp] = keys[i]
-            sp = jnp.where(h, sp + 1, sp)
-
-        # ---- pop, dropping stale entries --------------------------------
-        cur_max = jnp.max(best_t)
-
-        def pop_cond(s):
-            sp_, _ = s
-            stale = stack_tn_ref[jnp.maximum(sp_ - 1, 0)] > cur_max
-            return (sp_ > 0) & stale
-
-        sp, _ = jax.lax.while_loop(pop_cond, lambda s: (s[0] - 1, s[1]),
-                                   (sp, jnp.int32(0)))
-        has = sp > 0
-        cursor = jnp.where(has, stack_ref[jnp.maximum(sp - 1, 0)],
-                           jnp.int32(-1))
-        sp = jnp.where(has, sp - 1, sp)
+        sp = wide_expand(wide_ref, stack_ref, stack_tn_ref, node, sp,
+                         cursor >= 0,
+                         [(ox, oy, oz, inv_dx, inv_dy, inv_dz, best_t)],
+                         arity, ordered=not any_hit)
+        cursor, sp = wide_pop(stack_ref, stack_tn_ref, sp,
+                              jnp.max(best_t))
         return cursor, sp, best_t, best_slot, best_leaf
 
     best_t0 = tmax_ref[:]
