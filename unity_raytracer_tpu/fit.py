@@ -103,6 +103,69 @@ def make_loss_fn(template: Scene, cam: Camera, rcfg: RenderConfig,
     return loss_fn
 
 
+def make_chunked_value_and_grad(template: Scene, rcfg: RenderConfig,
+                                o: jnp.ndarray, d: jnp.ndarray,
+                                target: jnp.ndarray, bvh=None,
+                                chunk: Optional[int] = None) -> Callable:
+    """Chunked gradient accumulation for the composed differentiable path.
+
+    ``lax.map``-chunking the forward (ops/render._frame_chunked) does NOT
+    bound backward memory — the scan stores every chunk's residuals. This
+    builds the gradient the memory-safe way: one ``lax.scan`` over ray
+    chunks whose body runs ``value_and_grad`` of that chunk's
+    sum-of-squared-error and adds it into a running (loss, grad)
+    accumulator. Peak residency is one chunk's residuals + one grad
+    pytree, independent of the total ray count; grads are mathematically
+    identical to the unchunked mean-MSE gradient (sum of per-chunk sums,
+    divided once at the end). Combine with ``rcfg.remat`` to also bound
+    the per-chunk bounce-chain residuals.
+
+    ``target``: radiance on the 0-255 scale, [N,3] aligned with (o, d).
+    Returns ``f(params) -> (loss, grads)``, jittable.
+    """
+    from unity_raytracer_tpu.ops.render import trace_radiance
+
+    rcfg = resolve_mode(template, rcfg)
+    n = o.shape[0]
+    c = chunk or rcfg.ray_chunk or n
+    c = min(c, n)
+    pad = (-n) % c
+    if pad:
+        z = jnp.zeros((pad, 3), jnp.float32).at[:, 2].set(1.0)
+        o = jnp.concatenate([o, z], axis=0)
+        d = jnp.concatenate([d, z], axis=0)
+        target = jnp.concatenate([target,
+                                  jnp.zeros((pad, 3), jnp.float32)], 0)
+    w = jnp.concatenate([jnp.ones((n,), jnp.float32),
+                         jnp.zeros((pad,), jnp.float32)])
+    oc = o.reshape(-1, c, 3)
+    dc = d.reshape(-1, c, 3)
+    tc = target.reshape(-1, c, 3)
+    wc = w.reshape(-1, c)
+
+    def value_and_grad_fn(params):
+        def body(carry, xs):
+            loss_sum, grad_sum = carry
+            o_i, d_i, t_i, w_i = xs
+
+            def chunk_loss(p):
+                s = set_params(template, p)
+                rad = trace_radiance(s, o_i, d_i, rcfg, bvh=bvh)
+                return jnp.sum(((rad - t_i) ** 2) * w_i[:, None])
+
+            l_i, g_i = jax.value_and_grad(chunk_loss)(params)
+            return (loss_sum + l_i,
+                    jax.tree.map(jnp.add, grad_sum, g_i)), None
+
+        zero = (jnp.zeros((), jnp.float32),
+                jax.tree.map(jnp.zeros_like, params))
+        (loss, grads), _ = jax.lax.scan(body, zero, (oc, dc, tc, wc))
+        denom = jnp.float32(n * 3)
+        return loss / denom, jax.tree.map(lambda g: g / denom, grads)
+
+    return value_and_grad_fn
+
+
 def fit(template: Scene, cam: Camera, rcfg: RenderConfig,
         target: jnp.ndarray, cfg: FitConfig,
         init_params: Optional[Dict[str, jnp.ndarray]] = None,

@@ -95,10 +95,7 @@ def ray_spheres(o: jnp.ndarray, d: jnp.ndarray, centers: jnp.ndarray,
     uoc = jnp.sum(d[:, None, :] * oc, axis=-1)          # [N,S]
     oc_sq = jnp.sum(oc * oc, axis=-1)
     disc = uoc * uoc - (oc_sq - radius_sq[None, :])
-    # double-where: sqrt'(0)=inf would leak NaN into gradients of missed
-    # lanes (inf * 0 mask); feed sqrt a safe positive value there instead
-    disc_safe = jnp.where(disc < 0, 1.0, disc)
-    sq = jnp.sqrt(disc_safe)
+    sq = _safe_sqrt(disc)
     big = -uoc + sq
     small = -uoc - sq
     t = jnp.where(small < 0, big, small)
@@ -106,6 +103,16 @@ def ray_spheres(o: jnp.ndarray, d: jnp.ndarray, centers: jnp.ndarray,
     if valid is not None:
         miss = miss | ~valid[None, :]
     return jnp.where(miss, INF, t)
+
+
+def _safe_sqrt(disc: jnp.ndarray) -> jnp.ndarray:
+    """sqrt(disc) with exact forward values and finite gradients on the
+    whole line: negative AND exactly-zero discriminants (tangent rays —
+    where sqrt' = inf) route through constants. At disc == 0 the true
+    dt/d(params) is unbounded (tangency is a non-differentiable edge);
+    the zero subgradient is the bounded choice."""
+    pos = disc > 0
+    return jnp.where(pos, jnp.sqrt(jnp.where(pos, disc, 1.0)), 0.0)
 
 
 def ray_spheres_mm(o: jnp.ndarray, d: jnp.ndarray, centers: jnp.ndarray,
@@ -124,8 +131,7 @@ def ray_spheres_mm(o: jnp.ndarray, d: jnp.ndarray, centers: jnp.ndarray,
     uoc = do - dC
     oc_sq = oo - 2.0 * oC + cc
     disc = uoc * uoc - (oc_sq - radius_sq[None, :])
-    disc_safe = jnp.where(disc < 0, 1.0, disc)
-    sq = jnp.sqrt(disc_safe)
+    sq = _safe_sqrt(disc)
     big = -uoc + sq
     small = -uoc - sq
     t = jnp.where(small < 0, big, small)

@@ -206,9 +206,14 @@ def _kernel(depth_ref,
             dr_ref, dg_ref, db_ref,
             oxo_ref, oyo_ref, ozo_ref, dxo_ref, dyo_ref, dzo_ref,
             tmo_ref, tro_ref, tgo_ref, tbo_ref,
-            stack_ref, stack_tn_ref,
-            *, n_lights: int, n_spheres: int, n_tris: int, n_mats: int,
-            max_bounces: int, arity: int = 0, fuse: bool = True):
+            *rest,
+            n_lights: int, n_spheres: int, n_tris: int, n_mats: int,
+            max_bounces: int, arity: int = 0, fuse: bool = True,
+            record: bool = False):
+    # trailing refs: optional hit-record outputs, then the SMEM scratch
+    stack_ref, stack_tn_ref = rest[-2:]
+    if record:
+        rt_ref, rnx_ref, rny_ref, rnz_ref, rmat_ref, rocc_ref = rest[:-2]
     tile = ox_ref.shape[0]
     live_in = tmax_ref[:] >= 0.0
 
@@ -226,6 +231,13 @@ def _kernel(depth_ref,
     tro_ref[:] = tr_ref[:]
     tgo_ref[:] = tg_ref[:]
     tbo_ref[:] = tb_ref[:]
+    if record:
+        rt_ref[:] = jnp.full((tile,), -1.0, jnp.float32)
+        rnx_ref[:] = jnp.zeros((tile,), jnp.float32)
+        rny_ref[:] = jnp.zeros((tile,), jnp.float32)
+        rnz_ref[:] = jnp.zeros((tile,), jnp.float32)
+        rmat_ref[:] = jnp.full((tile,), -1.0, jnp.float32)
+        rocc_ref[:] = jnp.zeros((tile,), jnp.float32)
 
     @pl.when(jnp.any(live_in))
     def _tile():
@@ -551,6 +563,21 @@ def _kernel(depth_ref,
         dg_ref[:] = thg * out_g * livef
         db_ref[:] = thb * out_b * livef
 
+        if record:
+            # hit records for the differentiable shading replay
+            # (ops/replay.py): winner t / shading normal / combined
+            # material id, plus per-light occlusion bits. Lanes that
+            # miss (or are dead) keep t = mat = -1.
+            rt_ref[:] = jnp.where(hit, best_t, -1.0)
+            rnx_ref[:] = bnx
+            rny_ref[:] = bny
+            rnz_ref[:] = bnz
+            rmat_ref[:] = jnp.where(hit, bmat, -1.0)
+            occm = jnp.zeros((tile,), jnp.float32)
+            for l in range(n_lights):
+                occm += occs[l].astype(jnp.float32) * float(1 << l)
+            rocc_ref[:] = occm
+
         # ---- mirror continuation (:358-373) ----------------------------
         depth = depth_ref[0]
         cont = live_in & hit & (is_mir_f > 0.0) & (depth < max_bounces)
@@ -762,7 +789,7 @@ def trace_segment(packed: PackedBVH, aux: jnp.ndarray, depth: jnp.ndarray,
                   tmax: jnp.ndarray, *, n_lights: int, n_spheres: int,
                   n_tris: int, max_bounces: int, interpret: bool = False,
                   tile_r: int = TILE_R, use_wide: bool | None = None,
-                  fuse_shadows: bool = True):
+                  fuse_shadows: bool = True, record: bool = False):
     """One fused bounce segment over all rays.
 
     Returns ``(delta [N,3], o' [N,3], d' [N,3], thr' [N,3], tmax' [N])``:
@@ -772,6 +799,13 @@ def trace_segment(packed: PackedBVH, aux: jnp.ndarray, depth: jnp.ndarray,
     ``use_wide``: walk the wide (BVH4/8) node rows instead of the binary
     layout — the measured step-count win (docs/KERNELS.md). Default: wide
     whenever ``packed.wide`` exists (prepare_bvh builds it).
+
+    ``record=True`` appends a hit-record tuple
+    ``(t [N], n [N,3], matid [N], occbits [N])`` to the return — the
+    winner geometry/material/occlusion facts the differentiable shading
+    replay (ops/replay.py) needs to rebuild this segment's radiance
+    without re-traversing. All f32; t/matid are -1 on miss, occbits is a
+    per-light occlusion bitmask.
     """
     if packed.leafmeta is None:
         raise ValueError("PackedBVH.leafmeta missing — build the BVH via "
@@ -807,19 +841,21 @@ def trace_segment(packed: PackedBVH, aux: jnp.ndarray, depth: jnp.ndarray,
         memory_space=pltpu.VMEM)
     smem1 = pl.BlockSpec(memory_space=pltpu.SMEM)
 
+    n_out = 13 + (6 if record else 0)
     outs = pl.pallas_call(
         functools.partial(_kernel, n_lights=n_lights, n_spheres=n_spheres,
                           n_tris=n_tris, n_mats=n_mats,
                           max_bounces=max_bounces, arity=arity,
-                          fuse=fuse_shadows),
+                          fuse=fuse_shadows, record=record),
         grid=grid,
         in_specs=[smem1,
                   tile, tile, tile, tile, tile, tile, tile,
                   tile, tile, tile,
                   rep(*nodes.shape), rep(*packed.tris.shape),
                   rep(*packed.leafmeta.shape), rep(*aux.shape)],
-        out_specs=tuple([tile] * 13),
-        out_shape=tuple([jax.ShapeDtypeStruct((total,), jnp.float32)] * 13),
+        out_specs=tuple([tile] * n_out),
+        out_shape=tuple([jax.ShapeDtypeStruct((total,), jnp.float32)]
+                        * n_out),
         scratch_shapes=[pltpu.SMEM((stack_n,), jnp.int32),
                         pltpu.SMEM((stack_n,), jnp.float32)],
         # resident blocks total ~21MB with 128-lane padding (nodes 10.7 +
@@ -831,12 +867,17 @@ def trace_segment(packed: PackedBVH, aux: jnp.ndarray, depth: jnp.ndarray,
     )(jnp.asarray(depth, jnp.int32).reshape(1), ox, oy, oz, dx, dy, dz,
       tm, tr, tg, tb, nodes, packed.tris, packed.leafmeta, aux)
 
-    (dr, dg, db, oxo, oyo, ozo, dxo, dyo, dzo, tmo, tro, tgo, tbo) = outs
-    cut = lambda x: x[:n]
+    (dr, dg, db, oxo, oyo, ozo, dxo, dyo, dzo, tmo, tro, tgo,
+     tbo) = outs[:13]
+    cut = lambda x: jax.lax.stop_gradient(x[:n])
     delta = jnp.stack([cut(dr), cut(dg), cut(db)], axis=-1)
     o2 = jnp.stack([cut(oxo), cut(oyo), cut(ozo)], axis=-1)
     d2 = jnp.stack([cut(dxo), cut(dyo), cut(dzo)], axis=-1)
     thr2 = jnp.stack([cut(tro), cut(tgo), cut(tbo)], axis=-1)
-    return (jax.lax.stop_gradient(delta), jax.lax.stop_gradient(o2),
-            jax.lax.stop_gradient(d2), jax.lax.stop_gradient(thr2),
-            jax.lax.stop_gradient(cut(tmo)))
+    base = (delta, o2, d2, thr2, cut(tmo))
+    if not record:
+        return base
+    rt, rnx, rny, rnz, rmat, rocc = outs[13:]
+    rec = (cut(rt), jnp.stack([cut(rnx), cut(rny), cut(rnz)], axis=-1),
+           cut(rmat), cut(rocc))
+    return base + (rec,)

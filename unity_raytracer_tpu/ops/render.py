@@ -224,8 +224,12 @@ def _trace_chain(scene: Scene, o: jnp.ndarray, d: jnp.ndarray,
     # lax.scan: the bounce body compiles ONCE regardless of depth — keeps
     # XLA program size (and remote-compile time) flat vs depth, unlike a
     # Python unroll which inlines the intersect+shade stage per segment.
+    # cfg.remat checkpoints the body so the backward pass recomputes each
+    # segment from its [N]-sized carry instead of storing the full
+    # intersect+shade residuals (20+ [N,*] temps/segment at 1080p).
+    bounce_fn = jax.checkpoint(bounce) if cfg.remat else bounce
     (_, _, _, _, acc), stats = jax.lax.scan(
-        bounce, (o, d, thr0, active0, acc0),
+        bounce_fn, (o, d, thr0, active0, acc0),
         jnp.arange(cfg.max_bounces + 1), unroll=1)
     if with_stats:
         return acc, stats

@@ -1,0 +1,297 @@
+"""Record-replay backward: megakernel forward + differentiable shading
+replay — the fwd+bwd kernel story.
+
+The composed differentiable path re-traverses the BVH per segment and
+stores [N,L] lighting tensors as autodiff residuals; at 1080p/depth-4
+that is both ~4x slower than the fused megakernel forward and heavy on
+HBM. This module gets gradients at megakernel speed by splitting the
+work the way the math actually splits:
+
+* **Traversal is index logic** — which primitive wins, which lights are
+  occluded. It carries no parameter gradient in the hard-visibility
+  regime (temps 0): the composed path already wraps it in
+  ``stop_gradient`` / fixed-argmin selection.
+* **Shading is the differentiable part** — the winner's analytic t, the
+  surface normal, Blinn-Phong terms, light falloff.
+
+So: run the fused megakernel forward ONCE with ``record=True``
+(ops/pallas/mega.trace_segment) to get per-segment hit records
+``(t, n, matid, occbits)``, then REPLAY the bounce chain's shading in
+pure differentiable jnp with the discrete decisions frozen to the
+records. No traversal in the backward, no [N,L] shadow queries, no
+per-lane gathers (winner geometry/material comes from small-table
+masked selects, ops/shade.take_rows).
+
+Gradient semantics = the composed path at ``soft_*_temp == 0`` exactly
+(tests/test_replay.py asserts allclose grads):
+
+* sphere winners: t and normal recomputed analytically from the sphere
+  params -> full gradients w.r.t. centers / radius_sq;
+* loose-triangle winners: t via Moller-Trumbore and the stored normal
+  table -> gradients w.r.t. tri_verts / normals;
+* mesh-triangle winners: recorded t/normal used as constants — correct
+  for every optimizable parameter class in fit.PARAM_PATHS (none of
+  which moves mesh vertices), zero-gradient w.r.t. the mesh itself;
+* visibility (hit/shadow bits): frozen — identical to the hard forward
+  whose gradient is zero/straight-through anyway. Soft silhouette
+  fitting (temps > 0) stays on the composed path (fit.py).
+
+Reference semantics mirrored: shading terms RayTracingSetup.cs:324-455,
+Intensity/d^2 falloff :350, mirror continuation :358-373, 0-255 Rgb
+scale (Data/Shading/Rgb.cs).
+"""
+
+from __future__ import annotations
+
+from functools import partial
+from typing import Tuple
+
+import jax
+import jax.numpy as jnp
+
+from unity_raytracer_tpu.models.scene import Materials, Scene
+from unity_raytracer_tpu.ops import shade as sh
+from unity_raytracer_tpu.ops.bvh import _mt_one
+from unity_raytracer_tpu.ops.shade import SHADOW_EPS, take_rows
+from unity_raytracer_tpu.utils.config import RenderConfig
+
+# records tuple per segment: (t [N], n [N,3], matid [N], occbits [N])
+Records = Tuple[jnp.ndarray, jnp.ndarray, jnp.ndarray, jnp.ndarray]
+
+
+def combined_materials(scene: Scene) -> Materials:
+    """One material table in the megakernel's combined id order:
+    sphere ++ loose-triangle ++ per-mesh rows (mega.build_aux)."""
+    return jax.tree.map(
+        lambda a, b, c: jnp.concatenate([a, b, c], axis=0),
+        scene.spheres.materials, scene.triangles.materials,
+        scene.meshes.mesh_materials)
+
+
+def trace_records(scene: Scene, o: jnp.ndarray, d: jnp.ndarray,
+                  cfg: RenderConfig, bvh) -> Tuple[jnp.ndarray, Records]:
+    """Fused megakernel bounce chain with hit recording.
+
+    Returns ``(acc [N,3], records)`` with each record stacked over the
+    ``max_bounces+1`` segments: t/n/matid/occbits with leading dim B.
+    Everything is stop-gradient (the records are facts, not functions).
+    """
+    from unity_raytracer_tpu.ops.pallas.mega import build_aux, trace_segment
+
+    n_rays = o.shape[0]
+    aux = build_aux(scene, cfg.background)
+    kw = dict(n_lights=scene.lights.positions.shape[0],
+              n_spheres=scene.spheres.count,
+              n_tris=scene.triangles.count,
+              max_bounces=cfg.max_bounces,
+              interpret=jax.default_backend() == "cpu",
+              tile_r=cfg.tile_r,
+              use_wide=cfg.bvh_arity != 0,
+              fuse_shadows=cfg.fuse_shadows,
+              record=True)
+
+    acc0 = jnp.zeros((n_rays, 3), jnp.float32)
+    thr0 = jnp.ones((n_rays, 3), jnp.float32)
+    tmax0 = jnp.full((n_rays,), 3.0e38, jnp.float32)
+
+    def bounce(carry, depth):
+        o, d, thr, tmax, acc = carry
+
+        def live_seg(args):
+            o, d, thr, tmax, acc = args
+            delta, o2, d2, thr2, tm2, rec = trace_segment(
+                bvh, aux, depth, o, d, thr, tmax, **kw)
+            return (o2, d2, thr2, tm2, acc + delta), rec
+
+        def dead_seg(args):
+            rec = (jnp.full((n_rays,), -1.0, jnp.float32),
+                   jnp.zeros((n_rays, 3), jnp.float32),
+                   jnp.full((n_rays,), -1.0, jnp.float32),
+                   jnp.zeros((n_rays,), jnp.float32))
+            return args, rec
+
+        carry, rec = jax.lax.cond(jnp.any(tmax >= 0.0), live_seg,
+                                  dead_seg, (o, d, thr, tmax, acc))
+        return carry, rec
+
+    (_, _, _, _, acc), recs = jax.lax.scan(
+        bounce, (o, d, thr0, tmax0, acc0),
+        jnp.arange(cfg.max_bounces + 1), unroll=1)
+    return acc, recs
+
+
+def _sphere_t(o, d, center, r2, selected):
+    """Reference smallest-positive-root sphere t (RMath.cs:81-108) for
+    the per-lane SELECTED sphere; differentiable w.r.t. center/r2.
+    Guarded so non-selected lanes stay finite with zero gradient."""
+    oc = o - center
+    uoc = jnp.sum(d * oc, axis=-1)
+    oc2 = jnp.sum(oc * oc, axis=-1)
+    disc = uoc * uoc - (oc2 - r2)
+    # double-where with exact forward: masked/tangent lanes contribute a
+    # zero subgradient instead of sqrt'(0)=inf (ops/intersect._safe_sqrt)
+    pos = selected & (disc > 0.0)
+    sq = jnp.where(pos, jnp.sqrt(jnp.where(pos, disc, 1.0)), 0.0)
+    big = -uoc + sq
+    small = -uoc - sq
+    return jnp.where(small < 0.0, big, small)
+
+
+def replay_lighting(scene: Scene, p, n, v, mats: Materials,
+                    occbits: jnp.ndarray, mask: jnp.ndarray):
+    """Direct lighting with visibility frozen to the recorded per-light
+    occlusion bits — same terms as shade.direct_lighting, no queries."""
+    occ_int = occbits.astype(jnp.int32)
+    color = mats.ambient * scene.lights.ambient[None, :]
+    L = scene.lights.positions.shape[0]
+    if L == 0:
+        return color
+
+    lvec = scene.lights.positions[None, :, :] - p[:, None, :]   # [N,L,3]
+    ldist_sq = jnp.sum(lvec * lvec, axis=-1)
+    ldir = lvec * jax.lax.rsqrt(jnp.maximum(ldist_sq, 1e-60))[..., None]
+    ln = jnp.sum(ldir * n[:, None, :], axis=-1)                 # [N,L]
+
+    occ = jnp.stack([(occ_int >> l) & 1 for l in range(L)],
+                    axis=1) > 0                                 # [N,L]
+    need = (ln >= 0.0) & scene.lights.valid[None, :] & mask[:, None]
+    vis = (need & ~occ).astype(jnp.float32)
+
+    irr = scene.lights.intensities[None, :, :] \
+        / jnp.maximum(ldist_sq, 1e-60)[..., None]               # [N,L,3]
+    diffuse = (mats.diffuse[:, None, :]
+               * jnp.maximum(0.0, ln)[..., None] * irr)
+
+    hv = ldir + v[:, None, :]
+    hv = hv * jax.lax.rsqrt(
+        jnp.maximum(jnp.sum(hv * hv, axis=-1, keepdims=True), 1e-60))
+    nh = jnp.maximum(0.0, jnp.sum(n[:, None, :] * hv, axis=-1))
+    spec = (mats.specular[:, None, :]
+            * jnp.exp(mats.phong[:, None]
+                      * jnp.log(jnp.maximum(nh, 1e-30)))[..., None]
+            * irr)
+
+    return color + jnp.sum((diffuse + spec) * vis[..., None], axis=1)
+
+
+def replay_radiance(scene: Scene, o: jnp.ndarray, d: jnp.ndarray,
+                    records: Records, cfg: RenderConfig) -> jnp.ndarray:
+    """Differentiable radiance [N,3] (0-255 scale) from frozen records.
+
+    Statically unrolled over the (small) segment count; each level is
+    shading-only — winner geometry is recomputed analytically from the
+    scene parameters for spheres/loose triangles, taken from the record
+    for mesh triangles (see module docstring for why that is exact for
+    every fit.PARAM_PATHS class).
+    """
+    rt_all, rn_all, rmat_all, rocc_all = records
+    B = rt_all.shape[0]
+    S = scene.spheres.count
+    T = scene.triangles.count
+    K = scene.meshes.mesh_count
+    mats_table = combined_materials(scene)
+    bg = jnp.asarray(cfg.background, jnp.float32) * 255.0
+
+    n_rays = o.shape[0]
+    acc = jnp.zeros((n_rays, 3), jnp.float32)
+    thr = jnp.ones((n_rays, 3), jnp.float32)
+    live = jnp.ones((n_rays,), bool)
+    sel3 = lambda m, a, b: jnp.where(m[:, None], a, b)
+
+    for s in range(B):
+        t_rec = jax.lax.stop_gradient(rt_all[s])
+        n_rec = jax.lax.stop_gradient(rn_all[s])
+        comb_f = jax.lax.stop_gradient(rmat_all[s])
+        occ = jax.lax.stop_gradient(rocc_all[s])
+
+        hit = live & (t_rec >= 0.0)
+        comb = jnp.clip(comb_f.astype(jnp.int32), 0, S + T + K - 1)
+        is_sp = hit & (comb_f >= 0.0) & (comb_f < S)
+        is_lo = hit & (comb_f >= S) & (comb_f < S + T)
+
+        # sphere winners: analytic t + normal (differentiable)
+        if S:
+            sidx = jnp.clip(comb, 0, S - 1)
+            c_sel = take_rows(scene.spheres.centers, sidx)
+            r2_sel = take_rows(scene.spheres.radius_sq, sidx)
+            t_sph = _sphere_t(o, d, c_sel, r2_sel, is_sp)
+        # loose-triangle winners: analytic t + stored normal
+        if T:
+            tidx = jnp.clip(comb - S, 0, T - 1)
+            tv = take_rows(scene.triangles.verts, tidx)      # [N,3,3]
+            t_tri = _mt_one(o, d, tv[:, 0], tv[:, 1], tv[:, 2])
+            t_tri = jnp.where(is_lo & jnp.isfinite(t_tri), t_tri, 1.0)
+            n_tri = take_rows(scene.triangles.normals, tidx)
+
+        # mesh winners: differentiable plane-intersection t against the
+        # FROZEN winner plane. The plane (point p0, normal n_rec) is a
+        # constant — mesh verts are not optimizable — but t must stay a
+        # function of (o, d) so chain gradients flow through mirror
+        # bounces that LAND on the mesh (d t/d o = -n/(n.d) etc.), the
+        # same term the composed path gets from re-deriving t via
+        # Moller-Trumbore on the winner triangle. Value == t_rec exactly.
+        p0 = (jax.lax.stop_gradient(o)
+              + jax.lax.stop_gradient(d) * t_rec[:, None])
+        denom = jnp.sum(n_rec * d, axis=-1)
+        denom = jnp.where(jnp.abs(denom) < 1e-12, 1.0, denom)
+        t_mesh = jnp.sum(n_rec * (p0 - o), axis=-1) / denom + \
+            jax.lax.stop_gradient(t_rec - jnp.sum(n_rec * (p0 - o),
+                                                  axis=-1) / denom)
+        t = jnp.where(hit & (comb_f >= S + T), t_mesh, t_rec)
+        n = n_rec
+        if S:
+            t = jnp.where(is_sp, t_sph, t)
+        if T:
+            t = jnp.where(is_lo, t_tri, t)
+        t_safe = jnp.where(hit, t, 1.0)
+        p = o + d * t_safe[:, None]
+        if S:
+            n_sph = (p - c_sel) * jax.lax.rsqrt(
+                jnp.maximum(r2_sel, 1e-60))[:, None]
+            n = sel3(is_sp, n_sph, n)
+        if T:
+            n = sel3(is_lo, n_tri, n)
+
+        mats = jax.tree.map(lambda a: take_rows(a, comb), mats_table)
+        local = replay_lighting(scene, p, n, -d, mats, occ, hit)
+        contrib = sel3(hit, local, jnp.broadcast_to(bg, (n_rays, 3)))
+        acc = acc + thr * contrib * live[:, None]
+        if s == B - 1:
+            break
+
+        cont = hit & mats.is_mirror.astype(bool) & (s < cfg.max_bounces)
+        thr = sel3(cont, thr * mats.mirror, thr)
+        o = p + n * SHADOW_EPS
+        d = sel3(cont, sh.reflect_dir(d, n), d)
+        live = cont
+    return acc
+
+
+@partial(jax.jit, static_argnames=("cfg",))
+def trace_radiance_replay(scene: Scene, o: jnp.ndarray, d: jnp.ndarray,
+                          cfg: RenderConfig, bvh) -> jnp.ndarray:
+    """Forward records + differentiable replay in one jit — the radiance
+    equals the megakernel's to fp-reassociation noise, and gradients
+    flow to every fit.PARAM_PATHS parameter class."""
+    _, recs = trace_records(scene, o, d, cfg, bvh)
+    return replay_radiance(scene, o, d, recs, cfg)
+
+
+@partial(jax.jit, static_argnames=("cfg",))
+def replay_value_and_grad(template: Scene, params, o, d, target,
+                          cfg: RenderConfig, bvh):
+    """One fused fwd+bwd step: megakernel forward (records) with the
+    CURRENT params + pixel-MSE value_and_grad through the replay.
+    ``target`` is radiance on the 0-255 scale, shaped [N,3] like the
+    ray batch. This is the unit bench.py times as fwd+bwd."""
+    from unity_raytracer_tpu.fit import set_params
+
+    scene_now = set_params(template, params)
+    _, recs = trace_records(scene_now, o, d, cfg, bvh)
+
+    def loss_fn(params):
+        s = set_params(template, params)
+        rad = replay_radiance(s, o, d, recs, cfg)
+        return jnp.mean((rad - target) ** 2)
+
+    return jax.value_and_grad(loss_fn)(params)

@@ -56,6 +56,11 @@ class RenderConfig:
     #                             0 = binary walks (mk4 layout)
     fuse_shadows: bool = True   # megakernel: one fused occlusion walk for
     #                             all lights (wide layout only)
+    remat: bool = False         # jax.checkpoint the scan bounce body:
+    #                             backward recomputes each segment instead
+    #                             of storing its residuals — the composed
+    #                             differentiable path's memory fix (the
+    #                             1080p residuals otherwise OOM a v5e)
     diff: DiffConfig = field(default_factory=DiffConfig)
 
     def with_(self, **kw) -> "RenderConfig":
