@@ -64,6 +64,22 @@ def test_mega_matches_composed(small_scene):
     assert img_ref.std() > 0.01
 
 
+def test_mega_walk_unroll_parity(small_scene):
+    """walk_unroll composes the -1-safe wide body; the image must be
+    IDENTICAL (same tests in the same order, only loop bookkeeping
+    amortized)."""
+    scene, cam = small_scene
+    cfg = RenderConfig(max_bounces=2, background=(0.04, 0.05, 0.07),
+                       use_bvh=True, mode="scan", block_size=32)
+    packed = bvhmod.prepare_bvh(scene, cfg.with_(kernel="mega"))
+    img1 = np.asarray(render(scene, cam, cfg.with_(kernel="mega"),
+                             bvh=packed))
+    img2 = np.asarray(render(scene, cam,
+                             cfg.with_(kernel="mega", walk_unroll=2),
+                             bvh=packed))
+    np.testing.assert_array_equal(img1, img2)
+
+
 def test_mega_depth0_background(small_scene):
     """Depth 0 still shades locally; rays missing everything get the
     background (Rgb scale division checked end to end)."""

@@ -103,6 +103,24 @@ def test_render_tiled_pallas_interpret_matches(mesh8):
     np.testing.assert_allclose(out, ref, rtol=1e-5, atol=1e-5)
 
 
+def test_render_tiled_mega_interpret_matches(mesh8):
+    """The fused segment MEGAKERNEL under shard_map (interpret on CPU):
+    the exact flagship-bench code path, tile-sharded."""
+    from unity_raytracer_tpu.ops import bvh as bvhmod
+
+    scene, cam, cfg = mesh_scene(100, width=16, height=16)
+    cfg = resolve_mode(scene, cfg.with_(use_bvh=True, kernel="mega",
+                                        max_bounces=1, tile_r=32,
+                                        block_size=4))
+    packed = bvhmod.prepare_bvh(scene, cfg)
+    assert packed.leafmeta is not None
+    ref = np.asarray(render(scene, cam, cfg.with_(kernel="xla"),
+                            bvh=packed))
+    out = np.asarray(shardmod.render_tiled(scene, cam, cfg, mesh8,
+                                           bvh=packed))
+    np.testing.assert_allclose(out, ref, rtol=2e-4, atol=2e-4)
+
+
 def test_scene_sharded_non_replication(mesh42):
     """The TP regime's point: the [M]-row mesh arrays exist ONLY as
     shards. The replicated operand carries 1-row dummies and a placed

@@ -64,9 +64,26 @@ from unity_raytracer_tpu.ops.pallas.traverse_wide import (
 SHADOW_EPS = 1e-4  # ShadowRayEpsilon, RayTracingSetup.cs:42
 
 
+def _unrolled(body, k: int):
+    """Compose a wide-walk while body with itself ``k`` times: one loop
+    iteration processes up to ``k`` stack entries, amortizing the
+    per-iteration branch/bookkeeping overhead that dominates the
+    measured step cost (docs/KERNELS.md). Safe because every wide body
+    is a no-op at cursor == -1 (leaf test masked off, expansion masked
+    off, pop of an empty stack returns -1 again)."""
+    if k <= 1:
+        return body
+
+    def body_k(c):
+        for _ in range(k):
+            c = body(c)
+        return c
+    return body_k
+
+
 def _occluded_fused(nodes_ref, tris_ref, aux_ref, rays,
                     n_lights, n_spheres, n_tris,
-                    stack_ref, stack_tn_ref, arity):
+                    stack_ref, stack_tn_ref, arity, unroll=1):
     """Fused any-hit occlusion for ALL lights in ONE wide stack walk.
 
     ``rays``: per light ``(sx, sy, sz, ldx, ldy, ldz, tmax)`` with
@@ -193,7 +210,7 @@ def _occluded_fused(nodes_ref, tris_ref, aux_ref, rays,
         live = jnp.any(functools.reduce(jnp.maximum, c[2:]) > 0.0)
         return (c[0] != -1) & live
 
-    out = jax.lax.while_loop(cond, body,
+    out = jax.lax.while_loop(cond, _unrolled(body, unroll),
                              (jnp.int32(0), jnp.int32(0), *bests))
     bests = out[2:]
     return [(bests[l] < 0.0) & (best0s[l] > 0.0) for l in range(L)]
@@ -209,7 +226,7 @@ def _kernel(depth_ref,
             *rest,
             n_lights: int, n_spheres: int, n_tris: int, n_mats: int,
             max_bounces: int, arity: int = 0, fuse: bool = True,
-            record: bool = False):
+            record: bool = False, unroll: int = 1):
     # trailing refs: optional hit-record outputs, then the SMEM scratch
     stack_ref, stack_tn_ref = rest[-2:]
     if record:
@@ -411,9 +428,11 @@ def _kernel(depth_ref,
 
         zeros = jnp.zeros((tile,), jnp.float32)
         best_t0 = jnp.where(live_in, _BIG, -1.0)
+        # unroll applies to the wide walk only (its body is -1-safe; the
+        # binary body indexes nodes_ref at the cursor and is not)
         _, _, best_t, bnx, bny, bnz, bmat = jax.lax.while_loop(
             (lambda c: c[0] != -1) if arity else (lambda c: c[0] >= 0),
-            near_body_wide if arity else near_body,
+            _unrolled(near_body_wide, unroll) if arity else near_body,
             (jnp.int32(0), jnp.int32(0), best_t0, zeros, zeros, zeros,
              jnp.full((tile,), -1.0, jnp.float32)))
 
@@ -515,7 +534,7 @@ def _kernel(depth_ref,
                 [(sx, sy, sz, g[0], g[1], g[2],
                   jnp.where(g[4], g[5], -1.0)) for g in geo],
                 n_lights, n_spheres, n_tris,
-                stack_ref, stack_tn_ref, arity)
+                stack_ref, stack_tn_ref, arity, unroll=unroll)
         else:
             occs = [
                 _occluded(nodes_ref, tris_ref, aux_ref, sx, sy, sz,
@@ -789,7 +808,8 @@ def trace_segment(packed: PackedBVH, aux: jnp.ndarray, depth: jnp.ndarray,
                   tmax: jnp.ndarray, *, n_lights: int, n_spheres: int,
                   n_tris: int, max_bounces: int, interpret: bool = False,
                   tile_r: int = TILE_R, use_wide: bool | None = None,
-                  fuse_shadows: bool = True, record: bool = False):
+                  fuse_shadows: bool = True, record: bool = False,
+                  walk_unroll: int = 1):
     """One fused bounce segment over all rays.
 
     Returns ``(delta [N,3], o' [N,3], d' [N,3], thr' [N,3], tmax' [N])``:
@@ -846,7 +866,8 @@ def trace_segment(packed: PackedBVH, aux: jnp.ndarray, depth: jnp.ndarray,
         functools.partial(_kernel, n_lights=n_lights, n_spheres=n_spheres,
                           n_tris=n_tris, n_mats=n_mats,
                           max_bounces=max_bounces, arity=arity,
-                          fuse=fuse_shadows, record=record),
+                          fuse=fuse_shadows, record=record,
+                          unroll=walk_unroll),
         grid=grid,
         in_specs=[smem1,
                   tile, tile, tile, tile, tile, tile, tile,

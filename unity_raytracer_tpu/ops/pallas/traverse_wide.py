@@ -254,7 +254,8 @@ def widen(packed: PackedBVH, arity: int = DEFAULT_ARITY) -> PackedBVH:
 
 def _kernel(ox_ref, oy_ref, oz_ref, dx_ref, dy_ref, dz_ref, tmax_ref,
             wide_ref, tris_ref, t_out_ref, slot_out_ref, leaf_out_ref,
-            stack_ref, stack_tn_ref, *, arity: int, any_hit: bool = False):
+            stack_ref, stack_tn_ref, *, arity: int, any_hit: bool = False,
+            unroll: int = 1):
     ox, oy, oz = ox_ref[:], oy_ref[:], oz_ref[:]
     dx, dy, dz = dx_ref[:], dy_ref[:], dz_ref[:]
 
@@ -331,6 +332,15 @@ def _kernel(ox_ref, oy_ref, oz_ref, dx_ref, dy_ref, dz_ref, tmax_ref,
                               jnp.max(best_t))
         return cursor, sp, best_t, best_slot, best_leaf
 
+    if unroll > 1:
+        # the body is a no-op at cursor == -1, so iterations compose
+        body1 = body
+
+        def body(c):
+            for _ in range(unroll):
+                c = body1(c)
+            return c
+
     best_t0 = tmax_ref[:]
     slot0 = jnp.full(best_t0.shape, -1, jnp.int32)
     leaf0 = jnp.full(best_t0.shape, -1, jnp.int32)
@@ -346,7 +356,8 @@ def traverse_wide(packed: PackedBVH, o: jnp.ndarray, d: jnp.ndarray,
                   t_max: jnp.ndarray | None = None,
                   interpret: bool = False,
                   any_hit: bool = False,
-                  tile_r: int = TILE_R
+                  tile_r: int = TILE_R,
+                  unroll: int = 1
                   ) -> Tuple[jnp.ndarray, jnp.ndarray, jnp.ndarray]:
     """Wide-node twin of traverse_packet3/4 (requires ``packed.wide``)."""
     if packed.wide is None:
@@ -378,7 +389,8 @@ def traverse_wide(packed: PackedBVH, o: jnp.ndarray, d: jnp.ndarray,
 
     sg = jax.lax.stop_gradient
     t_out, slot_out, leaf_out = pl.pallas_call(
-        functools.partial(_kernel, arity=arity, any_hit=any_hit),
+        functools.partial(_kernel, arity=arity, any_hit=any_hit,
+                          unroll=unroll),
         grid=grid,
         in_specs=[tile, tile, tile, tile, tile, tile, tile,
                   rep(*packed.wide.shape), rep(*packed.tris.shape)],

@@ -127,7 +127,8 @@ def _trace_chain_mega(scene: Scene, o: jnp.ndarray, d: jnp.ndarray,
               interpret=_jax.default_backend() == "cpu",
               tile_r=cfg.tile_r,
               use_wide=cfg.bvh_arity != 0,
-              fuse_shadows=cfg.fuse_shadows)
+              fuse_shadows=cfg.fuse_shadows,
+              walk_unroll=cfg.walk_unroll)
 
     acc0 = jnp.zeros((n_rays, 3), jnp.float32)
     thr0 = jnp.ones((n_rays, 3), jnp.float32)
@@ -244,10 +245,12 @@ def _trace_tree(scene: Scene, o: jnp.ndarray, d: jnp.ndarray,
     A naive recursive tree would inline 2^depth intersect+shade stages and
     blow up XLA compile time exponentially. Instead each depth level is ONE
     batched stage over a widened lane array: every dielectric hit forks its
-    lane into (reflect, refract) children — lane count doubles per level on
-    dielectric scenes, totalling the same segment work as the tree — and a
-    segment scatter-add folds each lane's weighted radiance back into its
-    primary ray. Mirror-only scenes should use the linear chain instead
+    lane into (reflect, refract) children, and a segment scatter-add folds
+    each lane's weighted radiance back into its primary ray. Lane arrays
+    are kept at O(cfg.tree_cap * n_rays) by dead-fork compaction — the
+    exactly-dead children (zero reflect weight, TIR refract, misses) that
+    would otherwise make lane count 2^depth are sorted out after each
+    fork. Mirror-only scenes should use the linear chain instead
     (mode='scan').
 
     The reflect child is shared between mirrors (weight
@@ -312,6 +315,24 @@ def _trace_tree(scene: Scene, o: jnp.ndarray, d: jnp.ndarray,
                                      axis=0)
             parent = jnp.concatenate([parent, parent], axis=0)
             live = jnp.concatenate([refl_live, refr_live], axis=0)
+            # dead-fork compaction: most children are exactly dead
+            # (non-dielectric/non-mirror reflect weight 0, TIR refract
+            # children, misses); sort the live-and-weighted lanes to the
+            # front and truncate to the static cap so lane count stays
+            # O(cap * n_rays) instead of 2^depth. Live lanes beyond the
+            # cap (pathological full-screen dielectric chains) drop
+            # weakest-first — standard throughput culling.
+            cap = (cfg.tree_cap or 0) * n_rays
+            if cap and o.shape[0] > cap:
+                live = live & jnp.any(weight != 0.0, axis=-1)
+                score = jnp.where(
+                    live, jnp.sum(jnp.abs(weight), axis=-1), -1.0)
+                order = jnp.argsort(-score)[:cap]
+                o = jnp.take(o, order, axis=0)
+                d = jnp.take(d, order, axis=0)
+                weight = jnp.take(weight, order, axis=0)
+                parent = jnp.take(parent, order, axis=0)
+                live = jnp.take(live, order, axis=0)
         else:
             o, d = ro, rd_safe
             weight = weight * w_refl

@@ -56,6 +56,21 @@ class RenderConfig:
     #                             0 = binary walks (mk4 layout)
     fuse_shadows: bool = True   # megakernel: one fused occlusion walk for
     #                             all lights (wide layout only)
+    walk_unroll: int = 1        # megakernel wide walks: stack entries
+    #                             processed per while_loop iteration —
+    #                             amortizes per-iteration loop/branch
+    #                             overhead (the measured cost driver)
+    tree_cap: int = 4           # tree mode (refraction): max live-lane
+    #                             capacity as a multiple of the primary
+    #                             ray count. Each level's (reflect,
+    #                             refract) fork doubles the lane arrays;
+    #                             compaction then drops exactly-dead
+    #                             lanes (weight 0 / miss / TIR child)
+    #                             so deep scenes stop paying 2^depth.
+    #                             If live lanes ever exceed the cap the
+    #                             weakest-throughput lanes are dropped
+    #                             (bounded, throughput-culling-style
+    #                             error). 0 = uncapped exact 2^depth.
     remat: bool = False         # jax.checkpoint the scan bounce body:
     #                             backward recomputes each segment instead
     #                             of storing its residuals — the composed
