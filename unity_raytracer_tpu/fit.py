@@ -90,14 +90,19 @@ class FitResult(NamedTuple):
 
 
 def make_loss_fn(template: Scene, cam: Camera, rcfg: RenderConfig,
-                 target: jnp.ndarray) -> Callable:
+                 target: jnp.ndarray, bvh=None) -> Callable:
     """Pixel-MSE loss. ``rcfg`` should carry a soft DiffConfig so silhouette
-    gradients exist; forward stays hard when straight_through=True."""
+    gradients exist; forward stays hard when straight_through=True.
+
+    ``bvh``: prebuilt mesh BVH (ops/bvh.prepare_bvh) — REQUIRED for
+    use_bvh scenes (the loss runs under jit, where a host-side build is
+    impossible). Mesh geometry is never an optimizable class
+    (PARAM_PATHS), so a fixed BVH stays valid across steps."""
     rcfg = resolve_mode(template, rcfg)
 
     def loss_fn(params: Dict[str, jnp.ndarray]) -> jnp.ndarray:
         scene = set_params(template, params)
-        img = render(scene, cam, rcfg)
+        img = render(scene, cam, rcfg, bvh=bvh)
         return jnp.mean((img - target) ** 2)
 
     return loss_fn
@@ -106,7 +111,9 @@ def make_loss_fn(template: Scene, cam: Camera, rcfg: RenderConfig,
 def make_chunked_value_and_grad(template: Scene, rcfg: RenderConfig,
                                 o: jnp.ndarray, d: jnp.ndarray,
                                 target: jnp.ndarray, bvh=None,
-                                chunk: Optional[int] = None) -> Callable:
+                                chunk: Optional[int] = None,
+                                weights: Optional[jnp.ndarray] = None
+                                ) -> Callable:
     """Chunked gradient accumulation for the composed differentiable path.
 
     ``lax.map``-chunking the forward (ops/render._frame_chunked) does NOT
@@ -121,7 +128,9 @@ def make_chunked_value_and_grad(template: Scene, rcfg: RenderConfig,
     the per-chunk bounce-chain residuals.
 
     ``target``: radiance on the 0-255 scale, [N,3] aligned with (o, d).
-    Returns ``f(params) -> (loss, grads)``, jittable.
+    ``weights`` (optional [N]): per-lane loss weights — e.g. 0 on the
+    pad-margin lanes of block-ordered raygen; the loss is the weighted
+    mean. Returns ``f(params) -> (loss, grads)``, jittable.
     """
     from unity_raytracer_tpu.ops.render import trace_radiance
 
@@ -130,14 +139,16 @@ def make_chunked_value_and_grad(template: Scene, rcfg: RenderConfig,
     c = chunk or rcfg.ray_chunk or n
     c = min(c, n)
     pad = (-n) % c
+    w = (jnp.asarray(weights, jnp.float32) if weights is not None
+         else jnp.ones((n,), jnp.float32))
+    n_eff = jnp.sum(w)
     if pad:
         z = jnp.zeros((pad, 3), jnp.float32).at[:, 2].set(1.0)
         o = jnp.concatenate([o, z], axis=0)
         d = jnp.concatenate([d, z], axis=0)
         target = jnp.concatenate([target,
                                   jnp.zeros((pad, 3), jnp.float32)], 0)
-    w = jnp.concatenate([jnp.ones((n,), jnp.float32),
-                         jnp.zeros((pad,), jnp.float32)])
+        w = jnp.concatenate([w, jnp.zeros((pad,), jnp.float32)])
     oc = o.reshape(-1, c, 3)
     dc = d.reshape(-1, c, 3)
     tc = target.reshape(-1, c, 3)
@@ -160,7 +171,7 @@ def make_chunked_value_and_grad(template: Scene, rcfg: RenderConfig,
         zero = (jnp.zeros((), jnp.float32),
                 jax.tree.map(jnp.zeros_like, params))
         (loss, grads), _ = jax.lax.scan(body, zero, (oc, dc, tc, wc))
-        denom = jnp.float32(n * 3)
+        denom = n_eff * 3.0
         return loss / denom, jax.tree.map(lambda g: g / denom, grads)
 
     return value_and_grad_fn
@@ -170,17 +181,38 @@ def fit(template: Scene, cam: Camera, rcfg: RenderConfig,
         target: jnp.ndarray, cfg: FitConfig,
         init_params: Optional[Dict[str, jnp.ndarray]] = None,
         resume_from: Optional[str] = None,
-        grad_transform: Optional[Callable] = None) -> FitResult:
+        grad_transform: Optional[Callable] = None,
+        bvh=None) -> FitResult:
     """Adam descent on pixel MSE.
 
     ``grad_transform(grads, params) -> grads`` hooks in multi-device grad
     psum when running under shard_map (see parallel/).
+    ``bvh``: prebuilt mesh BVH for use_bvh scenes (see make_loss_fn).
+    When ``rcfg.ray_chunk`` is set the step uses chunked gradient
+    accumulation (make_chunked_value_and_grad) so frame-sized fits run in
+    bounded memory; combine with ``rcfg.remat`` for deep bounce chains.
     """
     rcfg = resolve_mode(template, rcfg).with_(
         diff=DiffConfig(soft_shadow_temp=cfg.soft_shadow_temp,
                         soft_hit_temp=cfg.soft_hit_temp,
                         straight_through=True))
-    loss_fn = make_loss_fn(template, cam, rcfg, target)
+    if rcfg.ray_chunk:
+        from unity_raytracer_tpu.models.camera import generate_rays_blocks
+        from unity_raytracer_tpu.utils.swizzle import swizzle_image
+        o, d = generate_rays_blocks(cam, rcfg.block_size)
+        tgt_rad = swizzle_image(target, rcfg.block_size) * 255.0
+        lane_w = swizzle_image(
+            jnp.ones((cam.height, cam.width, 1), jnp.float32),
+            rcfg.block_size)[:, 0]
+        # radiance-scale MSE / 255^2 == the image-scale MSE
+        raw_vg = make_chunked_value_and_grad(
+            template, rcfg, o, d, tgt_rad, bvh=bvh, weights=lane_w)
+        scale = 1.0 / (255.0 * 255.0)
+        value_and_grad = lambda p: jax.tree.map(
+            lambda x: x * scale, raw_vg(p))
+    else:
+        loss_fn = make_loss_fn(template, cam, rcfg, target, bvh=bvh)
+        value_and_grad = jax.value_and_grad(loss_fn)
     tx = optax.adam(cfg.learning_rate)
 
     params = dict(init_params or get_params(template, cfg.param_names))
@@ -191,7 +223,7 @@ def fit(template: Scene, cam: Camera, rcfg: RenderConfig,
 
     @jax.jit
     def step_fn(params, opt_state):
-        loss, grads = jax.value_and_grad(loss_fn)(params)
+        loss, grads = value_and_grad(params)
         if grad_transform is not None:
             grads = grad_transform(grads, params)
         updates, opt_state = tx.update(grads, opt_state, params)

@@ -61,6 +61,24 @@ def unswizzle_image(rad, width: int, height: int, bs: int):
     return jnp.stack(chans, axis=-1)[:height, :width]
 
 
+def swizzle_image(img, bs: int):
+    """Row-major image [H, W, C] -> block-ordered lanes [Wp*Hp, C]
+    (inverse of unswizzle_image, pad margin zero-filled) — puts a target
+    image into generate_rays_blocks's lane order for ray-space losses."""
+    import jax.numpy as jnp
+    h, w, c = img.shape
+    if bs <= 1:
+        return img.reshape(-1, c)
+    wp, hp = padded_dims(w, h, bs)
+    img = jnp.pad(img, ((0, hp - h), (0, wp - w), (0, 0)))
+    chans = [
+        jnp.transpose(img[:, :, k].reshape(hp // bs, bs, wp // bs, bs),
+                      (0, 2, 1, 3)).reshape(-1)
+        for k in range(c)
+    ]
+    return jnp.stack(chans, axis=-1)
+
+
 @functools.lru_cache(maxsize=32)
 def block_perm(width: int, height: int, bs: int = 32
                ) -> Tuple[np.ndarray, np.ndarray]:
