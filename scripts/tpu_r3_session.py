@@ -1,0 +1,257 @@
+"""Round-3 TPU measurement session (one chip claim, JSONL output).
+
+Steps (default all):
+  sweep — megakernel flagship-frame A/B over (bvh_arity, walk_unroll,
+          tile_r) to pick the shipping defaults
+  grad  — fwd+bwd at the flagship: record-replay path + composed
+          remat/chunked path
+  fit   — inverse-rendering artifact: recover sphere center+diffuse in
+          the mesh10k BVH scene at depth 1 (soft temps, composed
+          kernel) -> FIT_r03.json
+  mxu   — matmul-shaped slab-test experiment (MXU offload datapoint)
+
+Usage: python scripts/tpu_run.py scripts/tpu_r3_session.py \
+           [out.jsonl] [steps...]
+"""
+
+import json
+import sys
+import time
+
+import numpy as np
+
+sys.path.insert(0, "/root/repo")
+
+OUT = sys.argv[1] if len(sys.argv) > 1 else "/tmp/tpu_r3.jsonl"
+STEPS = sys.argv[2:] or ["sweep", "grad", "fit"]
+
+ISSUED = 1920 * 1080 * 5 * 4  # pixels * segments * (1 + 3 lights)
+
+
+def emit(**rec):
+    rec["ts"] = time.time()
+    with open(OUT, "a") as f:
+        f.write(json.dumps(rec, default=float) + "\n")
+    print(json.dumps(rec, default=float), flush=True)
+
+
+def main():
+    import jax
+    import jax.numpy as jnp
+
+    try:
+        jax.config.update("jax_compilation_cache_dir", "/root/.jax_cache")
+        jax.config.update("jax_persistent_cache_min_entry_size_bytes", -1)
+        jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+    except Exception:
+        pass
+
+    emit(step="init", devices=str(jax.devices()))
+
+    def timed(fn, *a, reps=3):
+        """Tunnel-safe timing (see tpu_r2_session): enqueue reps calls,
+        sync once, scalar-probe the result."""
+        t0 = time.perf_counter()
+        out = jax.block_until_ready(fn(*a))
+        _ = np.asarray(jax.tree.leaves(out)[0]).ravel()[:1]
+        compile_s = time.perf_counter() - t0
+        t0 = time.perf_counter()
+        for _ in range(reps):
+            out = fn(*a)
+        jax.block_until_ready(out)
+        _ = np.asarray(jax.tree.leaves(out)[0]).ravel()[:1]
+        mean = (time.perf_counter() - t0) / reps
+        return compile_s, mean, out
+
+    from unity_raytracer_tpu.models.camera import generate_rays_blocks
+    from unity_raytracer_tpu.models.presets import mesh100k
+    from unity_raytracer_tpu.ops import bvh as bvhmod
+    from unity_raytracer_tpu.ops.render import render_frame, resolve_mode
+
+    scene, cam, cfg0 = mesh100k()
+    cfg0 = resolve_mode(scene, cfg0.with_(use_bvh=True, kernel="mega"))
+
+    packs = {}
+
+    def packed_for(arity):
+        if arity not in packs:
+            t0 = time.perf_counter()
+            packs[arity] = bvhmod.prepare_bvh(
+                scene, cfg0.with_(bvh_arity=arity))
+            emit(step="bvh_build", arity=arity,
+                 time_s=time.perf_counter() - t0)
+        return packs[arity]
+
+    if "sweep" in STEPS:
+        variants = [
+            ("base_a4_u1_t1024", dict(bvh_arity=4, walk_unroll=1,
+                                      tile_r=1024)),
+            ("a4_u2", dict(bvh_arity=4, walk_unroll=2, tile_r=1024)),
+            ("a4_u4", dict(bvh_arity=4, walk_unroll=4, tile_r=1024)),
+            ("a8_u1", dict(bvh_arity=8, walk_unroll=1, tile_r=1024)),
+            ("a8_u2", dict(bvh_arity=8, walk_unroll=2, tile_r=1024)),
+            ("a4_u2_t2048", dict(bvh_arity=4, walk_unroll=2,
+                                 tile_r=2048)),
+            ("a8_u2_t2048", dict(bvh_arity=8, walk_unroll=2,
+                                 tile_r=2048)),
+            ("a8_u4", dict(bvh_arity=8, walk_unroll=4, tile_r=1024)),
+        ]
+        ref_mean = None
+        for name, kw in variants:
+            try:
+                cfg = cfg0.with_(**kw)
+                packed = packed_for(kw["bvh_arity"])
+                c, t, img = timed(
+                    lambda: render_frame(scene, cam, cfg, bvh=packed))
+                m = float(np.asarray(img).ravel()[::1001].mean())
+                if ref_mean is None:
+                    ref_mean = m
+                emit(step="sweep", variant=name, compile_s=c, frame_s=t,
+                     rays_per_s=ISSUED / t, img_probe=m,
+                     probe_drift=abs(m - ref_mean))
+            except Exception as e:  # keep the session alive
+                emit(step="sweep", variant=name, error=repr(e)[:300])
+
+    if "grad" in STEPS:
+        from unity_raytracer_tpu.fit import (get_params,
+                                             make_chunked_value_and_grad)
+        from unity_raytracer_tpu.ops.render import trace_radiance
+        from unity_raytracer_tpu.ops.replay import (
+            replay_value_and_grad, trace_radiance_replay)
+
+        best = None
+        try:
+            with open(OUT) as f:
+                rows = [json.loads(l) for l in f if l.strip()]
+            sweeps = [r for r in rows if r.get("step") == "sweep"
+                      and "frame_s" in r]
+            if sweeps:
+                best = min(sweeps, key=lambda r: r["frame_s"])
+        except Exception:
+            pass
+        kw = dict(bvh_arity=4, walk_unroll=1, tile_r=1024)
+        if best:
+            # re-derive kwargs from the winning variant name
+            n = best["variant"]
+            kw["bvh_arity"] = 8 if "a8" in n else 4
+            kw["walk_unroll"] = (4 if "u4" in n else
+                                 2 if "u2" in n else 1)
+            kw["tile_r"] = 2048 if "t2048" in n else 1024
+        cfg = cfg0.with_(**kw)
+        packed = packed_for(kw["bvh_arity"])
+        emit(step="grad_config", **kw)
+
+        names = ("sphere_centers", "sphere_diffuse", "light_intensities")
+        params0 = get_params(scene, names)
+        o, d = generate_rays_blocks(cam, cfg.block_size)
+
+        target = jax.block_until_ready(jax.lax.stop_gradient(
+            trace_radiance_replay(scene, o, d, cfg, packed)))
+        c, t, vg = timed(lambda: replay_value_and_grad(
+            scene, params0, o, d, target, cfg, packed), reps=2)
+        gnorm = float(sum(float(jnp.sum(g * g)) for g in vg[1].values()))
+        emit(step="grad_replay", compile_s=c, grad_s=t,
+             rays_per_s_fwd_bwd=ISSUED / t, loss=float(vg[0]),
+             grad_sq_norm=gnorm)
+
+        cfg_c = cfg.with_(kernel="pallas", remat=True)
+        target_c = jax.block_until_ready(jax.lax.stop_gradient(
+            trace_radiance(scene, o, d, cfg_c, bvh=packed)))
+        vgf = jax.jit(make_chunked_value_and_grad(
+            scene, cfg_c, o, d, target_c, bvh=packed, chunk=1 << 18))
+        c, t, vg = timed(lambda: vgf(params0), reps=1)
+        emit(step="grad_composed", compile_s=c, grad_s=t,
+             rays_per_s_fwd_bwd=ISSUED / t, loss=float(vg[0]))
+
+    if "fit" in STEPS:
+        from unity_raytracer_tpu.fit import FitConfig, fit, get_params
+        from unity_raytracer_tpu.models.presets import mesh_scene
+
+        fscene, fcam, fcfg0 = mesh_scene(10240, width=128, height=128)
+        fcfg0 = resolve_mode(fscene, fcfg0.with_(
+            max_bounces=1, use_bvh=True, kernel="pallas",
+            block_size=32, ray_chunk=4096, remat=True))
+        fbvh = bvhmod.prepare_bvh(fscene, fcfg0)
+        from unity_raytracer_tpu.ops.render import render
+        target = render(fscene, fcam, fcfg0, bvh=fbvh)
+        true_p = get_params(fscene, ("sphere_centers", "sphere_diffuse"))
+        init = {
+            "sphere_centers": true_p["sphere_centers"]
+            + jnp.asarray([[0.5, -0.4, 0.5]], jnp.float32),
+            "sphere_diffuse": jnp.clip(
+                true_p["sphere_diffuse"]
+                + jnp.asarray([[0.2, 0.15, -0.1]], jnp.float32), 0, 1),
+        }
+        fc = FitConfig(param_names=("sphere_centers", "sphere_diffuse"),
+                       learning_rate=0.04, steps=80,
+                       soft_shadow_temp=1.0, soft_hit_temp=0.1,
+                       log_every=20)
+        t0 = time.perf_counter()
+        res = fit(fscene, fcam, fcfg0, target, fc, init_params=init,
+                  bvh=fbvh)
+        dt = time.perf_counter() - t0
+        rec = {
+            "scene": "mesh10k BVH, 128x128, depth 1, soft temps, "
+                     "composed pallas kernel, chunked+remat grad, TPU",
+            "steps": fc.steps, "wall_s": dt,
+            "loss_curve": [float(x) for x in
+                           res.losses[:: max(1, len(res.losses) // 20)]],
+            "loss_first": float(res.losses[0]),
+            "loss_last": float(res.losses[-1]),
+            "recovered_center": np.asarray(
+                res.params["sphere_centers"]).tolist(),
+            "true_center": np.asarray(
+                true_p["sphere_centers"]).tolist(),
+            "init_center": np.asarray(init["sphere_centers"]).tolist(),
+            "recovered_diffuse": np.asarray(
+                res.params["sphere_diffuse"]).tolist(),
+            "true_diffuse": np.asarray(
+                true_p["sphere_diffuse"]).tolist(),
+        }
+        with open("/root/repo/FIT_r03.json", "w") as f:
+            json.dump(rec, f, indent=1)
+        emit(step="fit", wall_s=dt, loss_first=rec["loss_first"],
+             loss_last=rec["loss_last"])
+
+    if "mxu" in STEPS:
+        # matmul-shaped slab test: precompute per-node (lo*? ...) — the
+        # 6 axis products (lo_a - o_a) * inv_a decompose as
+        # lo_a*inv_a - o_a*inv_a: [N,6] ray features @ [6,B] node
+        # features gives all cross terms, but the min/max lattice over
+        # axes is elementwise on [N,B] either way. Measure both.
+        N, B = 4096, 4096
+        rng = np.random.default_rng(0)
+        o = jnp.asarray(rng.uniform(-1, 1, (N, 3)), jnp.float32)
+        inv = jnp.asarray(rng.uniform(0.5, 2, (N, 3)), jnp.float32)
+        lo = jnp.asarray(rng.uniform(-2, 0, (B, 3)), jnp.float32)
+        hi = jnp.asarray(rng.uniform(0, 2, (B, 3)), jnp.float32)
+
+        @jax.jit
+        def vpu(o, inv, lo, hi):
+            t1 = (lo[None] - o[:, None]) * inv[:, None]    # [N,B,3]
+            t2 = (hi[None] - o[:, None]) * inv[:, None]
+            tn = jnp.max(jnp.minimum(t1, t2), axis=-1)
+            tf = jnp.min(jnp.maximum(t1, t2), axis=-1)
+            return jnp.sum((jnp.maximum(tn, 0.0) <= tf))
+
+        @jax.jit
+        def mxu(o, inv, lo, hi):
+            # t1[n,b,a] = lo[b,a]*inv[n,a] - o[n,a]*inv[n,a]
+            oi = o * inv                                    # [N,3]
+            t1 = jnp.einsum("ba,na->nba", lo, inv) - oi[:, None, :]
+            t2 = jnp.einsum("ba,na->nba", hi, inv) - oi[:, None, :]
+            tn = jnp.max(jnp.minimum(t1, t2), axis=-1)
+            tf = jnp.min(jnp.maximum(t1, t2), axis=-1)
+            return jnp.sum((jnp.maximum(tn, 0.0) <= tf))
+
+        c1, t1_, r1 = timed(lambda: vpu(o, inv, lo, hi), reps=5)
+        c2, t2_, r2 = timed(lambda: mxu(o, inv, lo, hi), reps=5)
+        emit(step="mxu_slab", vpu_s=t1_, mxu_s=t2_,
+             tests_per_s_vpu=N * B / t1_, tests_per_s_mxu=N * B / t2_,
+             agree=bool(int(r1) == int(r2)))
+
+    emit(step="done")
+
+
+if __name__ == "__main__":
+    main()
