@@ -187,8 +187,10 @@ def run_once(name="mesh100k", width=None, height=None, repeats=3,
             def _grad_replay():
                 from unity_raytracer_tpu.ops.replay import (
                     replay_value_and_grad, trace_radiance_replay)
+                # 0.9x so the loss/grads are nonzero (real backward
+                # values, not a zero-cotangent special case)
                 target = jax.lax.stop_gradient(trace_radiance_replay(
-                    scene, o, d, cfg, bvh))
+                    scene, o, d, cfg, bvh)) * 0.9
                 gc, gs = _timed(
                     lambda: replay_value_and_grad(
                         scene, params0, o, d, target, cfg, bvh),
@@ -205,7 +207,7 @@ def run_once(name="mesh100k", width=None, height=None, repeats=3,
                 kernel="pallas" if kernel == "mega" else kernel,
                 remat=True)
             target = jax.lax.stop_gradient(
-                trace_radiance(scene, o, d, cfg_g, bvh=bvh))
+                trace_radiance(scene, o, d, cfg_g, bvh=bvh)) * 0.9
             chunk = cfg.ray_chunk or min(o.shape[0], 1 << 18)
             vg = jax.jit(make_chunked_value_and_grad(
                 scene, cfg_g, o, d, target, bvh=bvh, chunk=chunk))

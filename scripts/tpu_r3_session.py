@@ -48,18 +48,24 @@ def main():
 
     emit(step="init", devices=str(jax.devices()))
 
+    def probe(out):
+        """4-BYTE scalar probe: on-device ravel+index, then one float
+        transfer. np.asarray(img) here would drag the full 25MB frame
+        through the remote-chip tunnel INSIDE the timing window
+        (~0.26s — exactly the artifact that inflated the first r3
+        sweep; bench.py always probed correctly)."""
+        x = jax.tree.leaves(out)[0]
+        return float(jnp.ravel(x)[0])
+
     def timed(fn, *a, reps=3):
-        """Tunnel-safe timing (see tpu_r2_session): enqueue reps calls,
-        sync once, scalar-probe the result."""
         t0 = time.perf_counter()
-        out = jax.block_until_ready(fn(*a))
-        _ = np.asarray(jax.tree.leaves(out)[0]).ravel()[:1]
+        out = fn(*a)
+        probe(out)
         compile_s = time.perf_counter() - t0
         t0 = time.perf_counter()
         for _ in range(reps):
             out = fn(*a)
-        jax.block_until_ready(out)
-        _ = np.asarray(jax.tree.leaves(out)[0]).ravel()[:1]
+        probe(out)
         mean = (time.perf_counter() - t0) / reps
         return compile_s, mean, out
 
@@ -84,17 +90,24 @@ def main():
 
     if "sweep" in STEPS:
         variants = [
-            ("base_a4_u1_t1024", dict(bvh_arity=4, walk_unroll=1,
-                                      tile_r=1024)),
-            ("a4_u2", dict(bvh_arity=4, walk_unroll=2, tile_r=1024)),
-            ("a4_u4", dict(bvh_arity=4, walk_unroll=4, tile_r=1024)),
-            ("a8_u1", dict(bvh_arity=8, walk_unroll=1, tile_r=1024)),
-            ("a8_u2", dict(bvh_arity=8, walk_unroll=2, tile_r=1024)),
-            ("a4_u2_t2048", dict(bvh_arity=4, walk_unroll=2,
-                                 tile_r=2048)),
-            ("a8_u2_t2048", dict(bvh_arity=8, walk_unroll=2,
-                                 tile_r=2048)),
-            ("a8_u4", dict(bvh_arity=8, walk_unroll=4, tile_r=1024)),
+            ("a4_u1_sort", dict(bvh_arity=4, walk_unroll=1,
+                                occ_mode="sort")),
+            ("a4_u1_none", dict(bvh_arity=4, walk_unroll=1,
+                                occ_mode="none")),
+            ("a4_u1_keys", dict(bvh_arity=4, walk_unroll=1,
+                                occ_mode="keys")),
+            ("a4_u2_sort", dict(bvh_arity=4, walk_unroll=2,
+                                occ_mode="sort")),
+            ("a4_u2_none", dict(bvh_arity=4, walk_unroll=2,
+                                occ_mode="none")),
+            ("a4_u2_keys", dict(bvh_arity=4, walk_unroll=2,
+                                occ_mode="keys")),
+            ("a8_u1_sort", dict(bvh_arity=8, walk_unroll=1,
+                                occ_mode="sort")),
+            ("a4_u3_sort", dict(bvh_arity=4, walk_unroll=3,
+                                occ_mode="sort")),
+            ("a4_u2_sort_t2048", dict(bvh_arity=4, walk_unroll=2,
+                                      occ_mode="sort", tile_r=2048)),
         ]
         ref_mean = None
         for name, kw in variants:
@@ -103,7 +116,7 @@ def main():
                 packed = packed_for(kw["bvh_arity"])
                 c, t, img = timed(
                     lambda: render_frame(scene, cam, cfg, bvh=packed))
-                m = float(np.asarray(img).ravel()[::1001].mean())
+                m = float(jnp.mean(img))
                 if ref_mean is None:
                     ref_mean = m
                 emit(step="sweep", variant=name, compile_s=c, frame_s=t,
@@ -134,9 +147,12 @@ def main():
             # re-derive kwargs from the winning variant name
             n = best["variant"]
             kw["bvh_arity"] = 8 if "a8" in n else 4
-            kw["walk_unroll"] = (4 if "u4" in n else
+            kw["walk_unroll"] = (4 if "u4" in n else 3 if "u3" in n else
                                  2 if "u2" in n else 1)
             kw["tile_r"] = 2048 if "t2048" in n else 1024
+            for m in ("sort", "keys", "none"):
+                if m in n:
+                    kw["occ_mode"] = m
         cfg = cfg0.with_(**kw)
         packed = packed_for(kw["bvh_arity"])
         emit(step="grad_config", **kw)
@@ -146,7 +162,7 @@ def main():
         o, d = generate_rays_blocks(cam, cfg.block_size)
 
         target = jax.block_until_ready(jax.lax.stop_gradient(
-            trace_radiance_replay(scene, o, d, cfg, packed)))
+            trace_radiance_replay(scene, o, d, cfg, packed))) * 0.9
         c, t, vg = timed(lambda: replay_value_and_grad(
             scene, params0, o, d, target, cfg, packed), reps=2)
         gnorm = float(sum(float(jnp.sum(g * g)) for g in vg[1].values()))
@@ -156,7 +172,7 @@ def main():
 
         cfg_c = cfg.with_(kernel="pallas", remat=True)
         target_c = jax.block_until_ready(jax.lax.stop_gradient(
-            trace_radiance(scene, o, d, cfg_c, bvh=packed)))
+            trace_radiance(scene, o, d, cfg_c, bvh=packed))) * 0.9
         vgf = jax.jit(make_chunked_value_and_grad(
             scene, cfg_c, o, d, target_c, bvh=packed, chunk=1 << 18))
         c, t, vg = timed(lambda: vgf(params0), reps=1)

@@ -83,7 +83,8 @@ def _unrolled(body, k: int):
 
 def _occluded_fused(nodes_ref, tris_ref, aux_ref, rays,
                     n_lights, n_spheres, n_tris,
-                    stack_ref, stack_tn_ref, arity, unroll=1):
+                    stack_ref, stack_tn_ref, arity, unroll=1,
+                    occ_mode="sort"):
     """Fused any-hit occlusion for ALL lights in ONE wide stack walk.
 
     ``rays``: per light ``(sx, sy, sz, ldx, ldy, ldz, tmax)`` with
@@ -199,7 +200,7 @@ def _occluded_fused(nodes_ref, tris_ref, aux_ref, rays,
                      invs[l][0], invs[l][1], invs[l][2], bests[l])
                     for l in range(L)]
         sp = _wide_expand(nodes_ref, stack_ref, stack_tn_ref, node, sp,
-                          cursor >= 0, ray_sets, arity, ordered=False)
+                          cursor >= 0, ray_sets, arity, ordered=occ_mode)
         # elementwise max across light sets first -> ONE cross-lane
         # reduction (reductions, not flops, drive the per-step cost)
         cur_max = jnp.max(functools.reduce(jnp.maximum, bests))
@@ -226,7 +227,8 @@ def _kernel(depth_ref,
             *rest,
             n_lights: int, n_spheres: int, n_tris: int, n_mats: int,
             max_bounces: int, arity: int = 0, fuse: bool = True,
-            record: bool = False, unroll: int = 1):
+            record: bool = False, unroll: int = 1,
+            occ_mode: str = "sort"):
     # trailing refs: optional hit-record outputs, then the SMEM scratch
     stack_ref, stack_tn_ref = rest[-2:]
     if record:
@@ -534,13 +536,15 @@ def _kernel(depth_ref,
                 [(sx, sy, sz, g[0], g[1], g[2],
                   jnp.where(g[4], g[5], -1.0)) for g in geo],
                 n_lights, n_spheres, n_tris,
-                stack_ref, stack_tn_ref, arity, unroll=unroll)
+                stack_ref, stack_tn_ref, arity, unroll=unroll,
+                occ_mode=occ_mode)
         else:
             occs = [
                 _occluded(nodes_ref, tris_ref, aux_ref, sx, sy, sz,
                           g[0], g[1], g[2], jnp.where(g[4], g[5], -1.0),
                           n_lights, n_spheres, n_tris,
-                          stack_ref, stack_tn_ref, arity)
+                          stack_ref, stack_tn_ref, arity,
+                          occ_mode=occ_mode)
                 for g in geo]
 
         for l in range(n_lights):
@@ -618,7 +622,8 @@ def _kernel(depth_ref,
 
 def _occluded(nodes_ref, tris_ref, aux_ref, sx, sy, sz, ldx, ldy, ldz,
               tmax, n_lights, n_spheres, n_tris,
-              stack_ref=None, stack_tn_ref=None, arity=0):
+              stack_ref=None, stack_tn_ref=None, arity=0,
+              occ_mode="sort"):
     """Embedded any-hit occlusion query (wide stack walk when ``arity``,
     else binary threaded traversal order — ordering buys little for
     any-hit, but the wide layout still quarters the step count).
@@ -720,7 +725,7 @@ def _occluded(nodes_ref, tris_ref, aux_ref, sx, sy, sz, ldx, ldy, ldz,
             sp = _wide_expand(nodes_ref, stack_ref, stack_tn_ref, node,
                               sp, cursor >= 0,
                               [(sx, sy, sz, inv_x, inv_y, inv_z, best)],
-                              arity, ordered=False)
+                              arity, ordered=occ_mode)
             cursor, sp = _wide_pop(stack_ref, stack_tn_ref, sp,
                                    jnp.max(best))
             return cursor, sp, best
@@ -809,7 +814,7 @@ def trace_segment(packed: PackedBVH, aux: jnp.ndarray, depth: jnp.ndarray,
                   n_tris: int, max_bounces: int, interpret: bool = False,
                   tile_r: int = TILE_R, use_wide: bool | None = None,
                   fuse_shadows: bool = True, record: bool = False,
-                  walk_unroll: int = 1):
+                  walk_unroll: int = 1, occ_mode: str = "sort"):
     """One fused bounce segment over all rays.
 
     Returns ``(delta [N,3], o' [N,3], d' [N,3], thr' [N,3], tmax' [N])``:
@@ -867,7 +872,7 @@ def trace_segment(packed: PackedBVH, aux: jnp.ndarray, depth: jnp.ndarray,
                           n_tris=n_tris, n_mats=n_mats,
                           max_bounces=max_bounces, arity=arity,
                           fuse=fuse_shadows, record=record,
-                          unroll=walk_unroll),
+                          unroll=walk_unroll, occ_mode=occ_mode),
         grid=grid,
         in_specs=[smem1,
                   tile, tile, tile, tile, tile, tile, tile,

@@ -73,20 +73,27 @@ def wide_expand(nodes_ref, stack_ref, stack_tn_ref, node, sp, expand,
     query, e.g. one per light for the fused shadow walk) and push the hit
     children (leaf children encoded as ``-(tris_row+2)``).
 
-    ``ordered=True`` (nearest-hit walks): hits are sorted by packet entry
-    distance (static scalar compare-exchange network) and pushed
-    far-to-near so the nearest child pops first, with the entry distance
-    recorded for the stale-pop prune. ``ordered=False`` (any-hit /
-    occlusion walks, where descent order buys nothing): the sort network
-    is skipped and entries record distance 0.0 — a valid conservative
-    entry bound (box entries are >= 0), so ``wide_pop``'s prune stays
-    correct and fires exactly when every lane has retired.
+    ``ordered`` selects the push discipline:
+    * ``True`` / ``'sort'`` — hits sorted by packet entry distance
+      (static compare-exchange network), pushed far-to-near so the
+      nearest child pops first; entry distance recorded for the
+      stale-pop prune. The nearest-walk default.
+    * ``'keys'`` — real entry distances recorded (prune stays fully
+      effective) but the sort network is skipped; pop order is child
+      slot order. For any-hit walks where the prune matters (lanes
+      retire, cur_max drops) but strict near-first order may not.
+    * ``False`` / ``'none'`` — keys recorded as 0.0: no sort, prune
+      only fires once every lane has retired (cheapest per step, most
+      steps). The sort-vs-keys-vs-none trade for occlusion walks is an
+      empirical question (cfg.occ_mode) settled by the r3 sweep.
 
     Cross-lane reductions are the measured per-step cost driver (VPU
     reductions, not flops): the per-set entry distances are combined
     ELEMENTWISE first so each child pays ONE cross-lane min total, not
     one per ray set. Returns the new stack pointer.
     """
+    mode = ("sort" if ordered is True else
+            "none" if ordered is False else ordered)
     keys = []
     encs = []
     for cslot in range(arity):
@@ -120,10 +127,11 @@ def wide_expand(nodes_ref, stack_ref, stack_tn_ref, node, sp, expand,
                                                                masked)
         key = jnp.min(tn_all)  # the ONE cross-lane reduction per child
         hit_c = (key < _BIG) & expand & (cnt >= 0.0)
-        keys.append(jnp.where(hit_c, key if ordered else 0.0, _INF))
+        keys.append(jnp.where(hit_c, 0.0 if mode == "none" else key,
+                              _INF))
         encs.append(jnp.where(cnt > 0.0, -(meta + 2), meta))
 
-    if ordered:
+    if mode == "sort":
         for (i, j) in sort_network(arity):
             swap = keys[i] > keys[j]
             ki = jnp.where(swap, keys[j], keys[i])
@@ -322,12 +330,13 @@ def _kernel(ox_ref, oy_ref, oz_ref, dx_ref, dy_ref, dz_ref, tmax_ref,
             (best_t, best_slot, best_leaf))
 
         # ---- interior entry: shared wide expand + stale-pruned pop ------
-        # (any-hit walks push unordered — descent order buys nothing)
+        # ('sort' also for any-hit: near-first order retires lanes
+        # sooner and the prune then empties the stack; see wide_expand)
         node = jnp.maximum(cursor, 0)
         sp = wide_expand(wide_ref, stack_ref, stack_tn_ref, node, sp,
                          cursor >= 0,
                          [(ox, oy, oz, inv_dx, inv_dy, inv_dz, best_t)],
-                         arity, ordered=not any_hit)
+                         arity, ordered=True)
         cursor, sp = wide_pop(stack_ref, stack_tn_ref, sp,
                               jnp.max(best_t))
         return cursor, sp, best_t, best_slot, best_leaf

@@ -89,6 +89,7 @@ def trace_records(scene: Scene, o: jnp.ndarray, d: jnp.ndarray,
               use_wide=cfg.bvh_arity != 0,
               fuse_shadows=cfg.fuse_shadows,
               walk_unroll=cfg.walk_unroll,
+              occ_mode=cfg.occ_mode,
               record=True)
 
     acc0 = jnp.zeros((n_rays, 3), jnp.float32)

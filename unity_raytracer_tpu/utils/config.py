@@ -60,6 +60,10 @@ class RenderConfig:
     #                             processed per while_loop iteration —
     #                             amortizes per-iteration loop/branch
     #                             overhead (the measured cost driver)
+    occ_mode: str = "sort"      # occlusion-walk push discipline:
+    #                             'sort' (near-first + prune — measured
+    #                             fastest), 'keys' (prune, no sort
+    #                             network), 'none' (neither)
     tree_cap: int = 4           # tree mode (refraction): max live-lane
     #                             capacity as a multiple of the primary
     #                             ray count. Each level's (reflect,
