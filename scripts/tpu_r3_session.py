@@ -90,24 +90,25 @@ def main():
 
     if "sweep" in STEPS:
         variants = [
-            ("a4_u1_sort", dict(bvh_arity=4, walk_unroll=1,
-                                occ_mode="sort")),
-            ("a4_u1_none", dict(bvh_arity=4, walk_unroll=1,
-                                occ_mode="none")),
-            ("a4_u1_keys", dict(bvh_arity=4, walk_unroll=1,
-                                occ_mode="keys")),
-            ("a4_u2_sort", dict(bvh_arity=4, walk_unroll=2,
-                                occ_mode="sort")),
-            ("a4_u2_none", dict(bvh_arity=4, walk_unroll=2,
-                                occ_mode="none")),
-            ("a4_u2_keys", dict(bvh_arity=4, walk_unroll=2,
-                                occ_mode="keys")),
-            ("a8_u1_sort", dict(bvh_arity=8, walk_unroll=1,
-                                occ_mode="sort")),
-            ("a4_u3_sort", dict(bvh_arity=4, walk_unroll=3,
-                                occ_mode="sort")),
-            ("a4_u2_sort_t2048", dict(bvh_arity=4, walk_unroll=2,
-                                      occ_mode="sort", tile_r=2048)),
+            # r3b winner (packet) as the reference point
+            ("pkt_a4_u2_t2048", dict(bvh_arity=4, walk_unroll=2,
+                                     tile_r=2048, descend="packet")),
+            ("iv_a4_u1_t1024", dict(bvh_arity=4, walk_unroll=1,
+                                    tile_r=1024, descend="interval")),
+            ("iv_a4_u2_t2048", dict(bvh_arity=4, walk_unroll=2,
+                                    tile_r=2048, descend="interval")),
+            # arity 8 was a loss for packet (vector tests scale with
+            # arity); interval child tests are scalar, so re-try
+            ("iv_a8_u1_t2048", dict(bvh_arity=8, walk_unroll=1,
+                                    tile_r=2048, descend="interval")),
+            ("iv_a8_u2_t2048", dict(bvh_arity=8, walk_unroll=2,
+                                    tile_r=2048, descend="interval")),
+            ("iv_a4_u2_t4096", dict(bvh_arity=4, walk_unroll=2,
+                                    tile_r=4096, descend="interval")),
+            ("pkt_a4_u2_t4096", dict(bvh_arity=4, walk_unroll=2,
+                                     tile_r=4096, descend="packet")),
+            ("iv_a8_u4_t2048", dict(bvh_arity=8, walk_unroll=4,
+                                    tile_r=2048, descend="interval")),
         ]
         ref_mean = None
         for name, kw in variants:
@@ -142,17 +143,17 @@ def main():
                 best = min(sweeps, key=lambda r: r["frame_s"])
         except Exception:
             pass
-        kw = dict(bvh_arity=4, walk_unroll=1, tile_r=1024)
+        kw = dict(bvh_arity=4, walk_unroll=2, tile_r=2048)
         if best:
             # re-derive kwargs from the winning variant name
             n = best["variant"]
             kw["bvh_arity"] = 8 if "a8" in n else 4
             kw["walk_unroll"] = (4 if "u4" in n else 3 if "u3" in n else
                                  2 if "u2" in n else 1)
-            kw["tile_r"] = 2048 if "t2048" in n else 1024
-            for m in ("sort", "keys", "none"):
-                if m in n:
-                    kw["occ_mode"] = m
+            kw["tile_r"] = (4096 if "t4096" in n else
+                            2048 if "t2048" in n else 1024)
+            if n.startswith("iv_"):
+                kw["descend"] = "interval"
         cfg = cfg0.with_(**kw)
         packed = packed_for(kw["bvh_arity"])
         emit(step="grad_config", **kw)

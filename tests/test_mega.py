@@ -80,6 +80,25 @@ def test_mega_walk_unroll_parity(small_scene):
     np.testing.assert_array_equal(img1, img2)
 
 
+def test_mega_interval_descent_parity(small_scene):
+    """descend='interval' (all-scalar conservative bundle tests) visits
+    a superset of nodes but per-lane leaf tests are unchanged, so the
+    image must match the packet descent."""
+    scene, cam = small_scene
+    cfg = RenderConfig(max_bounces=2, background=(0.04, 0.05, 0.07),
+                       use_bvh=True, mode="scan", block_size=32)
+    packed = bvhmod.prepare_bvh(scene, cfg.with_(kernel="mega"))
+    img_p = np.asarray(render(scene, cam, cfg.with_(kernel="mega"),
+                              bvh=packed))
+    for kw in (dict(descend="interval"),
+               dict(descend="interval", walk_unroll=2),
+               dict(descend="interval", occ_mode="keys")):
+        img_i = np.asarray(render(scene, cam,
+                                  cfg.with_(kernel="mega", **kw),
+                                  bvh=packed))
+        np.testing.assert_allclose(img_i, img_p, rtol=1e-6, atol=1e-6)
+
+
 def test_mega_depth0_background(small_scene):
     """Depth 0 still shades locally; rays missing everything get the
     background (Rgb scale division checked end to end)."""
