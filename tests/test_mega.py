@@ -80,23 +80,20 @@ def test_mega_walk_unroll_parity(small_scene):
     np.testing.assert_array_equal(img1, img2)
 
 
-def test_mega_interval_descent_parity(small_scene):
-    """descend='interval' (all-scalar conservative bundle tests) visits
-    a superset of nodes but per-lane leaf tests are unchanged, so the
-    image must match the packet descent."""
+def test_mega_occ_mode_parity(small_scene):
+    """The occlusion-walk push discipline ('sort'/'keys'/'none') changes
+    visit order and pruning, never results — images must be identical."""
     scene, cam = small_scene
     cfg = RenderConfig(max_bounces=2, background=(0.04, 0.05, 0.07),
                        use_bvh=True, mode="scan", block_size=32)
     packed = bvhmod.prepare_bvh(scene, cfg.with_(kernel="mega"))
     img_p = np.asarray(render(scene, cam, cfg.with_(kernel="mega"),
                               bvh=packed))
-    for kw in (dict(descend="interval"),
-               dict(descend="interval", walk_unroll=2),
-               dict(descend="interval", occ_mode="keys")):
+    for m in ("keys", "none"):
         img_i = np.asarray(render(scene, cam,
-                                  cfg.with_(kernel="mega", **kw),
+                                  cfg.with_(kernel="mega", occ_mode=m),
                                   bvh=packed))
-        np.testing.assert_allclose(img_i, img_p, rtol=1e-6, atol=1e-6)
+        np.testing.assert_array_equal(img_i, img_p)
 
 
 def test_mega_depth0_background(small_scene):

@@ -64,136 +64,6 @@ from unity_raytracer_tpu.ops.pallas.traverse_wide import (
 SHADOW_EPS = 1e-4  # ShadowRayEpsilon, RayTracingSetup.cs:42
 
 
-def _interval_bounds(rays):
-    """Per-tile conservative ray-bundle bounds for interval descent.
-
-    For each ray set ``(ox, oy, oz, dx, dy, dz, best)`` (vectors over
-    the tile) compute SCALAR intervals: origin [ol, oh] and direction
-    [dl, dh] per axis, masked to live lanes (best >= 0) so retired rays
-    do not widen the frustum. Costs 12 cross-lane reductions ONCE per
-    walk; every interior step is then pure scalar math. Returns
-    ``(ol3, oh3, dl3, dh3, any_live)`` with each a 3-tuple of scalars.
-    """
-    out = []
-    for (ox, oy, oz, dx, dy, dz, best) in rays:
-        live = best >= 0.0
-        any_live = jnp.any(live)
-
-        def rng(v):
-            lo = jnp.min(jnp.where(live, v, _BIG))
-            hi = jnp.max(jnp.where(live, v, -_BIG))
-            return lo, hi
-
-        olx, ohx = rng(ox)
-        oly, ohy = rng(oy)
-        olz, ohz = rng(oz)
-        dlx, dhx = rng(dx)
-        dly, dhy = rng(dy)
-        dlz, dhz = rng(dz)
-        out.append(((olx, oly, olz), (ohx, ohy, ohz),
-                    (dlx, dly, dlz), (dhx, dhy, dhz), any_live))
-    return out
-
-
-def _interval_slab(lo, hi, bounds):
-    """Conservative scalar slab test of one box against a ray bundle.
-
-    ``lo``/``hi``: 3-tuples of box scalars. ``bounds``: one entry of
-    _interval_bounds. Returns ``(tn_lb, tf_ub)`` — a LOWER bound on any
-    live lane's entry distance and an UPPER bound on its exit — via
-    interval arithmetic on t = (box - o) * (1/d) per axis. Axes whose
-    direction interval straddles 0 pass conservatively ([0, BIG]).
-    Never culls a box any lane would enter (supersets the exact
-    per-lane union); exactness lives in the leaf tests.
-    """
-    (ol3, oh3, dl3, dh3, _) = bounds
-    tn_lb = 0.0
-    tf_ub = _BIG
-    for a in range(3):
-        dl, dh = dl3[a], dh3[a]
-        ol, oh = ol3[a], oh3[a]
-        mixed = (dl <= 1e-12) & (dh >= -1e-12)
-        # same-sign inverse interval [il, ih] (il<=ih for either sign)
-        safe = lambda v: jnp.where(jnp.abs(v) < 1e-12,
-                                   jnp.where(v < 0, -1e-12, 1e-12), v)
-        il = 1.0 / safe(dh)
-        ih = 1.0 / safe(dl)
-        il, ih = jnp.minimum(il, ih), jnp.maximum(il, ih)
-        # numerator intervals for both box planes
-        a1l, a1h = lo[a] - oh, lo[a] - ol      # (lo - o)
-        a2l, a2h = hi[a] - oh, hi[a] - ol      # (hi - o)
-        # product interval [x_l,x_h]*[il,ih] (same-sign inv)
-        def prod(xl, xh):
-            p1 = xl * il
-            p2 = xl * ih
-            p3 = xh * il
-            p4 = xh * ih
-            return (jnp.minimum(jnp.minimum(p1, p2),
-                                jnp.minimum(p3, p4)),
-                    jnp.maximum(jnp.maximum(p1, p2),
-                                jnp.maximum(p3, p4)))
-        t1l, t1h = prod(a1l, a1h)
-        t2l, t2h = prod(a2l, a2h)
-        near_lb = jnp.minimum(t1l, t2l)        # lb of min(t1, t2)
-        far_ub = jnp.maximum(t1h, t2h)         # ub of max(t1, t2)
-        near_lb = jnp.where(mixed, 0.0, near_lb)
-        far_ub = jnp.where(mixed, _BIG, far_ub)
-        tn_lb = jnp.maximum(tn_lb, near_lb)
-        tf_ub = jnp.minimum(tf_ub, far_ub)
-    return tn_lb, tf_ub
-
-
-def _wide_expand_interval(nodes_ref, stack_ref, stack_tn_ref, node, sp,
-                          expand, bounds_list, cur_max, arity,
-                          ordered="sort"):
-    """Interval-descent interior step: all-SCALAR child tests (one
-    conservative bundle slab per child per ray set), sort by the entry
-    lower bound, push far-to-near with that bound recorded for the
-    stale-pop prune. Zero vector ops, zero cross-lane reductions —
-    the per-step cost the packet expand pays in VPU reductions
-    disappears; the price is conservative (superset) descent."""
-    keys = []
-    encs = []
-    for cslot in range(arity):
-        b = 8 * cslot
-        lo = (nodes_ref[node, b], nodes_ref[node, b + 1],
-              nodes_ref[node, b + 2])
-        hi = (nodes_ref[node, b + 3], nodes_ref[node, b + 4],
-              nodes_ref[node, b + 5])
-        meta = nodes_ref[node, b + 6].astype(jnp.int32)
-        cnt = nodes_ref[node, b + 7]
-        key = _INF
-        for bounds in bounds_list:
-            tn_lb, tf_ub = _interval_slab(lo, hi, bounds)
-            ok = (tn_lb <= tf_ub) & (tn_lb <= cur_max) & bounds[4]
-            key = jnp.minimum(key, jnp.where(ok, tn_lb, _INF))
-        hit_c = (key < _INF) & expand & (cnt >= 0.0)
-        keys.append(jnp.where(hit_c, 0.0 if ordered == "none" else key,
-                              _INF))
-        encs.append(jnp.where(cnt > 0.0, -(meta + 2), meta))
-
-    if ordered == "sort":
-        from unity_raytracer_tpu.ops.pallas.traverse_wide import \
-            sort_network
-        for (i, j) in sort_network(arity):
-            swap = keys[i] > keys[j]
-            ki = jnp.where(swap, keys[j], keys[i])
-            kj = jnp.where(swap, keys[i], keys[j])
-            ei = jnp.where(swap, encs[j], encs[i])
-            ej = jnp.where(swap, encs[i], encs[j])
-            keys[i], keys[j], encs[i], encs[j] = ki, kj, ei, ej
-
-    for i in range(arity - 1, -1, -1):
-        h = jnp.isfinite(keys[i])
-
-        @pl.when(h)
-        def _(i=i, sp=sp):
-            stack_ref[sp] = encs[i]
-            stack_tn_ref[sp] = keys[i]
-        sp = jnp.where(h, sp + 1, sp)
-    return sp
-
-
 def _unrolled(body, k: int):
     """Compose a wide-walk while body with itself ``k`` times: one loop
     iteration processes up to ``k`` stack entries, amortizing the
@@ -214,7 +84,7 @@ def _unrolled(body, k: int):
 def _occluded_fused(nodes_ref, tris_ref, aux_ref, rays,
                     n_lights, n_spheres, n_tris,
                     stack_ref, stack_tn_ref, arity, unroll=1,
-                    occ_mode="sort", descend="packet"):
+                    occ_mode="sort"):
     """Fused any-hit occlusion for ALL lights in ONE wide stack walk.
 
     ``rays``: per light ``(sx, sy, sz, ldx, ldy, ldz, tmax)`` with
@@ -305,12 +175,6 @@ def _occluded_fused(nodes_ref, tris_ref, aux_ref, rays,
         bests.append(best)
         best0s.append(jnp.where(in_box, tmax, -1.0))
 
-    if descend == "interval":
-        occ_bounds = _interval_bounds(
-            [(rays[l][0], rays[l][1], rays[l][2],
-              rays[l][3], rays[l][4], rays[l][5], bests[l])
-             for l in range(L)])
-
     def body(c):
         cursor, sp, cur_max = c[0], c[1], c[2]
         bests = list(c[3:])
@@ -337,18 +201,12 @@ def _occluded_fused(nodes_ref, tris_ref, aux_ref, rays,
         bests = list(out[:-1])
         cur_max = out[-1]
         node = jnp.maximum(cursor, 0)
-        if descend == "interval":
-            sp = _wide_expand_interval(
-                nodes_ref, stack_ref, stack_tn_ref, node, sp,
-                cursor >= 0, occ_bounds, cur_max, arity,
-                ordered=occ_mode)
-        else:
-            ray_sets = [(rays[l][0], rays[l][1], rays[l][2],
-                         invs[l][0], invs[l][1], invs[l][2], bests[l])
-                        for l in range(L)]
-            sp = _wide_expand(nodes_ref, stack_ref, stack_tn_ref, node,
-                              sp, cursor >= 0, ray_sets, arity,
-                              ordered=occ_mode)
+        ray_sets = [(rays[l][0], rays[l][1], rays[l][2],
+                     invs[l][0], invs[l][1], invs[l][2], bests[l])
+                    for l in range(L)]
+        sp = _wide_expand(nodes_ref, stack_ref, stack_tn_ref, node,
+                          sp, cursor >= 0, ray_sets, arity,
+                          ordered=occ_mode)
         cursor, sp = _wide_pop(stack_ref, stack_tn_ref, sp, cur_max)
         return (cursor, sp, cur_max, *bests)
 
@@ -374,7 +232,7 @@ def _kernel(depth_ref,
             n_lights: int, n_spheres: int, n_tris: int, n_mats: int,
             max_bounces: int, arity: int = 0, fuse: bool = True,
             record: bool = False, unroll: int = 1,
-            occ_mode: str = "sort", descend: str = "packet"):
+            occ_mode: str = "sort"):
     # trailing refs: optional hit-record outputs, then the SMEM scratch
     stack_ref, stack_tn_ref = rest[-2:]
     if record:
@@ -509,15 +367,10 @@ def _kernel(depth_ref,
                 is_leafe, leaf_branch, lambda a: a,
                 (best_t, bnx, bny, bnz, bmat, cur_max))
             node = jnp.maximum(cursor, 0)
-            if descend == "interval":
-                sp = _wide_expand_interval(
-                    nodes_ref, stack_ref, stack_tn_ref, node, sp,
-                    cursor >= 0, near_bounds, cur_max, arity)
-            else:
-                sp = _wide_expand(nodes_ref, stack_ref, stack_tn_ref,
-                                  node, sp, cursor >= 0,
-                                  [(ox, oy, oz, inv_dx, inv_dy, inv_dz,
-                                    best_t)], arity)
+            sp = _wide_expand(nodes_ref, stack_ref, stack_tn_ref,
+                              node, sp, cursor >= 0,
+                              [(ox, oy, oz, inv_dx, inv_dy, inv_dz,
+                                best_t)], arity)
             cursor, sp = _wide_pop(stack_ref, stack_tn_ref, sp, cur_max)
             return cursor, sp, cur_max, best_t, bnx, bny, bnz, bmat
 
@@ -591,9 +444,6 @@ def _kernel(depth_ref,
         # unroll applies to the wide walk only (its body is -1-safe; the
         # binary body indexes nodes_ref at the cursor and is not)
         if arity:
-            if descend == "interval":
-                near_bounds = _interval_bounds(
-                    [(ox, oy, oz, dx, dy, dz, best_t0)])
             _, _, _, best_t, bnx, bny, bnz, bmat = jax.lax.while_loop(
                 lambda c: c[0] != -1,
                 _unrolled(near_body_wide, unroll),
@@ -704,7 +554,7 @@ def _kernel(depth_ref,
                   jnp.where(g[4], g[5], -1.0)) for g in geo],
                 n_lights, n_spheres, n_tris,
                 stack_ref, stack_tn_ref, arity, unroll=unroll,
-                occ_mode=occ_mode, descend=descend)
+                occ_mode=occ_mode)
         else:
             occs = [
                 _occluded(nodes_ref, tris_ref, aux_ref, sx, sy, sz,
@@ -981,8 +831,7 @@ def trace_segment(packed: PackedBVH, aux: jnp.ndarray, depth: jnp.ndarray,
                   n_tris: int, max_bounces: int, interpret: bool = False,
                   tile_r: int = TILE_R, use_wide: bool | None = None,
                   fuse_shadows: bool = True, record: bool = False,
-                  walk_unroll: int = 1, occ_mode: str = "sort",
-                  descend: str = "packet"):
+                  walk_unroll: int = 1, occ_mode: str = "sort"):
     """One fused bounce segment over all rays.
 
     Returns ``(delta [N,3], o' [N,3], d' [N,3], thr' [N,3], tmax' [N])``:
@@ -1040,8 +889,7 @@ def trace_segment(packed: PackedBVH, aux: jnp.ndarray, depth: jnp.ndarray,
                           n_tris=n_tris, n_mats=n_mats,
                           max_bounces=max_bounces, arity=arity,
                           fuse=fuse_shadows, record=record,
-                          unroll=walk_unroll, occ_mode=occ_mode,
-                          descend=descend),
+                          unroll=walk_unroll, occ_mode=occ_mode),
         grid=grid,
         in_specs=[smem1,
                   tile, tile, tile, tile, tile, tile, tile,

@@ -129,8 +129,7 @@ def _trace_chain_mega(scene: Scene, o: jnp.ndarray, d: jnp.ndarray,
               use_wide=cfg.bvh_arity != 0,
               fuse_shadows=cfg.fuse_shadows,
               walk_unroll=cfg.walk_unroll,
-              occ_mode=cfg.occ_mode,
-              descend=cfg.descend)
+              occ_mode=cfg.occ_mode)
 
     acc0 = jnp.zeros((n_rays, 3), jnp.float32)
     thr0 = jnp.ones((n_rays, 3), jnp.float32)

@@ -90,7 +90,6 @@ def trace_records(scene: Scene, o: jnp.ndarray, d: jnp.ndarray,
               fuse_shadows=cfg.fuse_shadows,
               walk_unroll=cfg.walk_unroll,
               occ_mode=cfg.occ_mode,
-              descend=cfg.descend,
               record=True)
 
     acc0 = jnp.zeros((n_rays, 3), jnp.float32)

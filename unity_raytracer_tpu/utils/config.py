@@ -62,13 +62,9 @@ class RenderConfig:
     #                             overhead (the measured cost driver)
     occ_mode: str = "sort"      # occlusion-walk push discipline:
     #                             'sort' (near-first + prune), 'keys'
-    #                             (prune, no sort network), 'none'
-    descend: str = "packet"     # megakernel wide-walk interior tests:
-    #                             'packet' (per-lane vector slab tests
-    #                             + cross-lane reductions) or
-    #                             'interval' (all-scalar conservative
-    #                             bundle tests — superset descent,
-    #                             identical images, far cheaper steps)
+    #                             (prune, no sort network), 'none' —
+    #                             measured within 1.5% of each other
+    #                             (docs/KERNELS.md r3)
     tree_cap: int = 4           # tree mode (refraction): max live-lane
     #                             capacity as a multiple of the primary
     #                             ray count. Each level's (reflect,
