@@ -15,10 +15,11 @@ Ray accounting (two numbers, both reported):
   segment (measured by trace_radiance_stats); after bounce 0 most lanes
   are retired, so this is the honest "useful rays" number.
 
-Timing methodology: min over repeats, each rep synced by
-jax.block_until_ready plus a 4-BYTE scalar probe — np.asarray on the
-full image would drag 25MB through the remote-TPU tunnel (~0.8s,
-measured) and pollute the numbers.
+Timing methodology: mean over repeats enqueued back-to-back, synced
+once by a 4-BYTE scalar probe — np.asarray on the full image would
+drag 25MB through the remote-TPU tunnel (~0.8s, measured) and
+per-repeat syncing would add the tunnel's ~30-40ms dispatch round-trip
+to every repeat.
 
 fwd+bwd: value_and_grad of a pixel-MSE w.r.t. sphere centers, sphere
 diffuse, and light intensities — the inverse-rendering parameter
@@ -91,21 +92,24 @@ def _with_timeout(fn, seconds, label):
 
 
 def _timed(fn, repeats=3):
+    """Steady-state throughput timing: enqueue ``repeats`` calls
+    back-to-back and sync once on a 4-byte scalar probe of the last
+    output. Per-call sync would add the remote-chip tunnel's ~30-40ms
+    dispatch round-trip to EVERY repeat (measured r3); enqueueing
+    amortizes it, matching how frames are actually consumed."""
     import jax
 
     def sync(out):
-        out = jax.block_until_ready(out)
         return float(jax.tree.leaves(out)[0].ravel()[0])
 
     t0 = time.perf_counter()
     sync(fn())
     compile_s = time.perf_counter() - t0
-    times = []
+    t0 = time.perf_counter()
     for _ in range(repeats):
-        t0 = time.perf_counter()
-        sync(fn())
-        times.append(time.perf_counter() - t0)
-    return compile_s, min(times)
+        out = fn()
+    sync(out)
+    return compile_s, (time.perf_counter() - t0) / repeats
 
 
 def run_once(name="mesh100k", width=None, height=None, repeats=3,

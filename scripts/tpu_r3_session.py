@@ -79,42 +79,38 @@ def main():
 
     packs = {}
 
-    def packed_for(arity):
-        if arity not in packs:
+    def packed_for(arity, leaf=14):
+        key = (arity, leaf)
+        if key not in packs:
             t0 = time.perf_counter()
-            packs[arity] = bvhmod.prepare_bvh(
-                scene, cfg0.with_(bvh_arity=arity))
-            emit(step="bvh_build", arity=arity,
+            packs[key] = bvhmod.prepare_bvh(
+                scene, cfg0.with_(bvh_arity=arity, bvh_leaf=leaf))
+            emit(step="bvh_build", arity=arity, leaf=leaf,
                  time_s=time.perf_counter() - t0)
-        return packs[arity]
+        return packs[key]
 
     if "sweep" in STEPS:
         variants = [
-            # r3b winner (packet) as the reference point
-            ("pkt_a4_u2_t2048", dict(bvh_arity=4, walk_unroll=2,
-                                     tile_r=2048, descend="packet")),
-            ("iv_a4_u1_t1024", dict(bvh_arity=4, walk_unroll=1,
-                                    tile_r=1024, descend="interval")),
-            ("iv_a4_u2_t2048", dict(bvh_arity=4, walk_unroll=2,
-                                    tile_r=2048, descend="interval")),
-            # arity 8 was a loss for packet (vector tests scale with
-            # arity); interval child tests are scalar, so re-try
-            ("iv_a8_u1_t2048", dict(bvh_arity=8, walk_unroll=1,
-                                    tile_r=2048, descend="interval")),
-            ("iv_a8_u2_t2048", dict(bvh_arity=8, walk_unroll=2,
-                                    tile_r=2048, descend="interval")),
-            ("iv_a4_u2_t4096", dict(bvh_arity=4, walk_unroll=2,
-                                    tile_r=4096, descend="interval")),
-            ("pkt_a4_u2_t4096", dict(bvh_arity=4, walk_unroll=2,
-                                     tile_r=4096, descend="packet")),
-            ("iv_a8_u4_t2048", dict(bvh_arity=8, walk_unroll=4,
-                                    tile_r=2048, descend="interval")),
+            # shipped default (leaf 14) as the reference point
+            ("leaf14_a4_u2_t2048", dict(bvh_arity=4, walk_unroll=2,
+                                        tile_r=2048, bvh_leaf=14)),
+            ("leaf28_a4_u2_t2048", dict(bvh_arity=4, walk_unroll=2,
+                                        tile_r=2048, bvh_leaf=28)),
+            ("leaf28_a4_u1_t2048", dict(bvh_arity=4, walk_unroll=1,
+                                        tile_r=2048, bvh_leaf=28)),
+            ("leaf42_a4_u2_t2048", dict(bvh_arity=4, walk_unroll=2,
+                                        tile_r=2048, bvh_leaf=42)),
+            ("leaf28_a8_u2_t2048", dict(bvh_arity=8, walk_unroll=2,
+                                        tile_r=2048, bvh_leaf=28)),
+            ("leaf28_a4_u2_t4096", dict(bvh_arity=4, walk_unroll=2,
+                                        tile_r=4096, bvh_leaf=28)),
         ]
         ref_mean = None
         for name, kw in variants:
             try:
                 cfg = cfg0.with_(**kw)
-                packed = packed_for(kw["bvh_arity"])
+                packed = packed_for(kw["bvh_arity"],
+                                    kw.get("bvh_leaf", 14))
                 c, t, img = timed(
                     lambda: render_frame(scene, cam, cfg, bvh=packed))
                 m = float(jnp.mean(img))
@@ -152,10 +148,11 @@ def main():
                                  2 if "u2" in n else 1)
             kw["tile_r"] = (4096 if "t4096" in n else
                             2048 if "t2048" in n else 1024)
-            if n.startswith("iv_"):
-                kw["descend"] = "interval"
+            for lf in (42, 28, 14):
+                if f"leaf{lf}" in n:
+                    kw["bvh_leaf"] = lf
         cfg = cfg0.with_(**kw)
-        packed = packed_for(kw["bvh_arity"])
+        packed = packed_for(kw["bvh_arity"], kw.get("bvh_leaf", 14))
         emit(step="grad_config", **kw)
 
         names = ("sphere_centers", "sphere_diffuse", "light_intensities")

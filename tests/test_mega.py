@@ -80,6 +80,25 @@ def test_mega_walk_unroll_parity(small_scene):
     np.testing.assert_array_equal(img1, img2)
 
 
+def test_mega_leaf28_parity(small_scene):
+    """bvh_leaf=28 (256-lane leaf rows) — every kernel derives its leaf
+    loop from the row width; the image must match the xla reference."""
+    scene, cam = small_scene
+    cfg = RenderConfig(max_bounces=2, background=(0.04, 0.05, 0.07),
+                       use_bvh=True, mode="scan", block_size=32,
+                       bvh_leaf=28)
+    packed = bvhmod.prepare_bvh(scene, cfg.with_(kernel="mega"))
+    assert packed.tris.shape[1] == 256
+    img_ref = np.asarray(render(scene, cam, cfg.with_(kernel="xla"),
+                                bvh=packed))
+    img_mega = np.asarray(render(scene, cam, cfg.with_(kernel="mega"),
+                                 bvh=packed))
+    np.testing.assert_allclose(img_mega, img_ref, rtol=2e-4, atol=2e-4)
+    img_wide = np.asarray(render(scene, cam, cfg.with_(kernel="wide"),
+                                 bvh=packed))
+    np.testing.assert_allclose(img_wide, img_ref, rtol=2e-4, atol=2e-4)
+
+
 def test_mega_occ_mode_parity(small_scene):
     """The occlusion-walk push discipline ('sort'/'keys'/'none') changes
     visit order and pruning, never results — images must be identical."""

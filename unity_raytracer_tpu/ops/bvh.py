@@ -512,10 +512,12 @@ def prepare_bvh(scene, cfg):
         from unity_raytracer_tpu.ops.pallas.traverse_mk3 import (
             PALLAS_LEAF, pack_rows)
         from unity_raytracer_tpu.ops.pallas.traverse_wide import widen
-        b = build(verts, np.asarray(scene.meshes.valid),
-                  leaf_size=PALLAS_LEAF)
-        packed = widen(pack_rows(dataclasses.replace(b, canonical=True)),
-                       arity=getattr(cfg, "bvh_arity", 4))
+        leaf = getattr(cfg, "bvh_leaf", PALLAS_LEAF) or PALLAS_LEAF
+        b = build(verts, np.asarray(scene.meshes.valid), leaf_size=leaf)
+        packed = widen(
+            pack_rows(dataclasses.replace(b, canonical=True),
+                      leaf_slots=leaf),
+            arity=getattr(cfg, "bvh_arity", 4))
         # per-leaf-slot combined-material id (sphere ++ loose ++ mesh
         # table order, matching ops/pallas/mega.build_aux) for the fused
         # segment megakernel
@@ -525,7 +527,8 @@ def prepare_bvh(scene, cfg):
         prim = np.asarray(b.prim_index)
         mid = np.asarray(scene.meshes.mesh_id)
         matid = s_cnt + t_cnt + mid[prim[np.clip(lp, 0, None)]]
-        leafmeta = np.zeros((lp.shape[0], 16), np.float32)
+        mwidth = max(16, -(-lp.shape[1] // 8) * 8)
+        leafmeta = np.zeros((lp.shape[0], mwidth), np.float32)
         leafmeta[:, : lp.shape[1]] = matid.astype(np.float32)
         return packed._replace(leafmeta=jnp.asarray(leafmeta))
     b = build(verts, np.asarray(scene.meshes.valid))

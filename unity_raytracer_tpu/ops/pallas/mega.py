@@ -183,7 +183,7 @@ def _occluded_fused(nodes_ref, tris_ref, aux_ref, rays,
 
         def leaf_tests(args):
             bests = list(args[:-1])
-            for k in range(PALLAS_LEAF):
+            for k in range(tris_ref.shape[1] // 9):
                 b = 9 * k
                 vs = tuple(tris_ref[leaf_row, b + j] for j in range(9))
                 for l in range(L):
@@ -338,7 +338,7 @@ def _kernel(depth_ref,
         # cross-lane reduction for it.
         def near_leaf_tests(leaf_row, args):
             best_t, bnx, bny, bnz, bmat = args
-            for k in range(PALLAS_LEAF):
+            for k in range(tris_ref.shape[1] // 9):
                 b = 9 * k
                 vs = tuple(tris_ref[leaf_row, b + j] for j in range(9))
                 ok, t = mt(*vs)
@@ -384,7 +384,7 @@ def _kernel(depth_ref,
 
             def leaf_tests(args):
                 best_t, bnx, bny, bnz, bmat = args
-                for k in range(PALLAS_LEAF):
+                for k in range(tris_ref.shape[1] // 9):
                     b = 9 * k
                     vs = tuple(tris_ref[leaf_row, b + j] for j in range(9))
                     ok, t = mt(*vs)
@@ -730,7 +730,7 @@ def _occluded(nodes_ref, tris_ref, aux_ref, sx, sy, sz, ldx, ldy, ldz,
             leaf_row = jnp.maximum(-cursor - 2, 0)
 
             def leaf_tests(best):
-                for k in range(PALLAS_LEAF):
+                for k in range(tris_ref.shape[1] // 9):
                     b = 9 * k
                     ok, t = mt(*tuple(tris_ref[leaf_row, b + j]
                                       for j in range(9)))
@@ -766,7 +766,7 @@ def _occluded(nodes_ref, tris_ref, aux_ref, sx, sy, sz, ldx, ldy, ldz,
         is_leaf = count > 0
 
         def leaf_tests(best):
-            for k in range(PALLAS_LEAF):
+            for k in range(tris_ref.shape[1] // 9):
                 b = 9 * k
                 ok, t = mt(*tuple(tris_ref[leaf_row, b + j]
                                   for j in range(9)))

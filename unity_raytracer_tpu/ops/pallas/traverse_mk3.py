@@ -53,8 +53,12 @@ class PackedBVH(NamedTuple):
     wide: jnp.ndarray | None = None
 
 
-def pack_rows(bvh: MeshBVH) -> PackedBVH:
-    """Host-side repack (numpy). Requires every leaf count <= PALLAS_LEAF."""
+def pack_rows(bvh: MeshBVH, leaf_slots: int = PALLAS_LEAF) -> PackedBVH:
+    """Host-side repack (numpy). Requires every leaf count <=
+    ``leaf_slots``; the tris row width is 9*leaf_slots rounded up to
+    whole 128-lane registers, and every kernel derives its leaf-loop
+    trip count from ``tris.shape[1] // 9`` — so alternative leaf
+    capacities (e.g. 28 -> 256-lane rows) need no kernel changes."""
     first = np.asarray(bvh.first)
     count = np.asarray(bvh.count)
     miss = np.asarray(bvh.miss_next)
@@ -62,17 +66,20 @@ def pack_rows(bvh: MeshBVH) -> PackedBVH:
     nmax = np.asarray(bvh.node_max)
     tv = np.asarray(bvh.tri_verts).reshape(-1, 9)
     nn = first.shape[0]
-    if count.max(initial=0) > PALLAS_LEAF:
+    if count.max(initial=0) > leaf_slots:
         raise ValueError(
-            f"leaf size {count.max()} > {PALLAS_LEAF}; build the BVH with "
-            f"leaf_size={PALLAS_LEAF} for the pallas path")
+            f"leaf size {count.max()} > {leaf_slots}; build the BVH with "
+            f"leaf_size={leaf_slots} for the pallas path")
 
     is_leaf = count > 0
     leaf_ids = np.cumsum(is_leaf) - 1          # node -> leaf row
     n_leaves = int(is_leaf.sum())
 
-    tris = np.zeros((max(n_leaves, 1), 128), np.float32)
-    leaf_prim = np.full((max(n_leaves, 1), PALLAS_LEAF), -1, np.int32)
+    width = -(-9 * leaf_slots // 128) * 128
+    # the kernels loop range(width // 9); keep pad slots degenerate
+    # (all-zero triangles reject via det==0) INSIDE the row too
+    tris = np.zeros((max(n_leaves, 1), width), np.float32)
+    leaf_prim = np.full((max(n_leaves, 1), width // 9), -1, np.int32)
     leaf_nodes = np.nonzero(is_leaf)[0]
     for r, node in enumerate(leaf_nodes):
         f0, c = first[node], count[node]
@@ -159,7 +166,7 @@ def _kernel(ox_ref, oy_ref, oz_ref, dx_ref, dy_ref, dz_ref, tmax_ref,
 
         def leaf_tests(args):
             best_t, best_slot, best_leaf = args
-            for k in range(PALLAS_LEAF):
+            for k in range(tris_ref.shape[1] // 9):
                 b = 9 * k
                 ok = k < count
                 v0x = tris_ref[leaf_row, b]

@@ -289,7 +289,7 @@ def _kernel(ox_ref, oy_ref, oz_ref, dx_ref, dy_ref, dz_ref, tmax_ref,
 
         def leaf_tests(args):
             best_t, best_slot, best_leaf = args
-            for k in range(PALLAS_LEAF):
+            for k in range(tris_ref.shape[1] // 9):
                 b = 9 * k
                 v0x = tris_ref[leaf_row, b]
                 v0y = tris_ref[leaf_row, b + 1]

@@ -54,6 +54,11 @@ class RenderConfig:
     bvh_arity: int = 4          # wide-node collapse width for the pallas
     #                             BVH (ops/pallas/traverse_wide); 4 or 8;
     #                             0 = binary walks (mk4 layout)
+    bvh_leaf: int = 14          # pallas leaf capacity (tris per leaf
+    #                             row; 14 -> 128-lane rows, 28 -> 256).
+    #                             Bigger leaves shrink the interior tree
+    #                             (fewer walk steps) at more tests per
+    #                             leaf visit
     fuse_shadows: bool = True   # megakernel: one fused occlusion walk for
     #                             all lights (wide layout only)
     walk_unroll: int = 1        # megakernel wide walks: stack entries
