@@ -81,22 +81,27 @@ def test_mega_walk_unroll_parity(small_scene):
 
 
 def test_mega_leaf28_parity(small_scene):
-    """bvh_leaf=28 (256-lane leaf rows) — every kernel derives its leaf
-    loop from the row width; the image must match the xla reference."""
+    """bvh_leaf=28: leaves span TWO consecutive 128-lane rows (wider
+    rows crash Mosaic's native compile — static lanes must stay inside
+    the first register); images must match the xla reference on every
+    kernel."""
     scene, cam = small_scene
     cfg = RenderConfig(max_bounces=2, background=(0.04, 0.05, 0.07),
                        use_bvh=True, mode="scan", block_size=32,
                        bvh_leaf=28)
     packed = bvhmod.prepare_bvh(scene, cfg.with_(kernel="mega"))
-    assert packed.tris.shape[1] == 256
+    assert packed.rows_per_leaf == 2
+    assert packed.tris.shape[1] == 128
     img_ref = np.asarray(render(scene, cam, cfg.with_(kernel="xla"),
                                 bvh=packed))
     img_mega = np.asarray(render(scene, cam, cfg.with_(kernel="mega"),
                                  bvh=packed))
     np.testing.assert_allclose(img_mega, img_ref, rtol=2e-4, atol=2e-4)
-    img_wide = np.asarray(render(scene, cam, cfg.with_(kernel="wide"),
-                                 bvh=packed))
-    np.testing.assert_allclose(img_wide, img_ref, rtol=2e-4, atol=2e-4)
+    for kern in ("wide", "pallas", "pallas3"):
+        img_k = np.asarray(render(scene, cam, cfg.with_(kernel=kern),
+                                  bvh=packed))
+        np.testing.assert_allclose(img_k, img_ref, rtol=2e-4, atol=2e-4,
+                                   err_msg=kern)
 
 
 def test_mega_occ_mode_parity(small_scene):

@@ -84,7 +84,7 @@ def _unrolled(body, k: int):
 def _occluded_fused(nodes_ref, tris_ref, aux_ref, rays,
                     n_lights, n_spheres, n_tris,
                     stack_ref, stack_tn_ref, arity, unroll=1,
-                    occ_mode="sort"):
+                    occ_mode="sort", leaf_rows=1):
     """Fused any-hit occlusion for ALL lights in ONE wide stack walk.
 
     ``rays``: per light ``(sx, sy, sz, ldx, ldy, ldz, tmax)`` with
@@ -183,9 +183,11 @@ def _occluded_fused(nodes_ref, tris_ref, aux_ref, rays,
 
         def leaf_tests(args):
             bests = list(args[:-1])
-            for k in range(tris_ref.shape[1] // 9):
+            for rr, k in [(r_, k_) for r_ in range(leaf_rows)
+                          for k_ in range(PALLAS_LEAF)]:
                 b = 9 * k
-                vs = tuple(tris_ref[leaf_row, b + j] for j in range(9))
+                vs = tuple(tris_ref[leaf_row + rr, b + j]
+                           for j in range(9))
                 for l in range(L):
                     sx, sy, sz, ldx, ldy, ldz, _ = rays[l]
                     ok, t = mt1((sx, sy, sz), (ldx, ldy, ldz), *vs)
@@ -232,7 +234,7 @@ def _kernel(depth_ref,
             n_lights: int, n_spheres: int, n_tris: int, n_mats: int,
             max_bounces: int, arity: int = 0, fuse: bool = True,
             record: bool = False, unroll: int = 1,
-            occ_mode: str = "sort"):
+            occ_mode: str = "sort", leaf_rows: int = 1):
     # trailing refs: optional hit-record outputs, then the SMEM scratch
     stack_ref, stack_tn_ref = rest[-2:]
     if record:
@@ -338,15 +340,17 @@ def _kernel(depth_ref,
         # cross-lane reduction for it.
         def near_leaf_tests(leaf_row, args):
             best_t, bnx, bny, bnz, bmat = args
-            for k in range(tris_ref.shape[1] // 9):
+            for rr, k in [(r_, k_) for r_ in range(leaf_rows)
+                          for k_ in range(PALLAS_LEAF)]:
+                row = leaf_row + rr
                 b = 9 * k
-                vs = tuple(tris_ref[leaf_row, b + j] for j in range(9))
+                vs = tuple(tris_ref[row, b + j] for j in range(9))
                 ok, t = mt(*vs)
                 # pad slots are all-zero triangles -> det==0 reject;
                 # no per-leaf count needed in the wide encoding
                 upd = ok & (t < best_t)
                 nx, ny, nz = tri_normal(*vs)
-                mid = leafmeta_ref[leaf_row, k]
+                mid = leafmeta_ref[row, k]
                 best_t = jnp.where(upd, t, best_t)
                 bnx = jnp.where(upd, nx, bnx)
                 bny = jnp.where(upd, ny, bny)
@@ -384,13 +388,16 @@ def _kernel(depth_ref,
 
             def leaf_tests(args):
                 best_t, bnx, bny, bnz, bmat = args
-                for k in range(tris_ref.shape[1] // 9):
+                for rr, k in [(r_, k_) for r_ in range(leaf_rows)
+                              for k_ in range(PALLAS_LEAF)]:
+                    row = leaf_row + rr
                     b = 9 * k
-                    vs = tuple(tris_ref[leaf_row, b + j] for j in range(9))
+                    vs = tuple(tris_ref[row, b + j] for j in range(9))
                     ok, t = mt(*vs)
-                    upd = ok & (k < count) & (t < best_t)
+                    upd = (ok & ((rr * PALLAS_LEAF + k) < count)
+                           & (t < best_t))
                     nx, ny, nz = tri_normal(*vs)
-                    mid = leafmeta_ref[leaf_row, k]
+                    mid = leafmeta_ref[row, k]
                     best_t = jnp.where(upd, t, best_t)
                     bnx = jnp.where(upd, nx, bnx)
                     bny = jnp.where(upd, ny, bny)
@@ -554,14 +561,14 @@ def _kernel(depth_ref,
                   jnp.where(g[4], g[5], -1.0)) for g in geo],
                 n_lights, n_spheres, n_tris,
                 stack_ref, stack_tn_ref, arity, unroll=unroll,
-                occ_mode=occ_mode)
+                occ_mode=occ_mode, leaf_rows=leaf_rows)
         else:
             occs = [
                 _occluded(nodes_ref, tris_ref, aux_ref, sx, sy, sz,
                           g[0], g[1], g[2], jnp.where(g[4], g[5], -1.0),
                           n_lights, n_spheres, n_tris,
                           stack_ref, stack_tn_ref, arity,
-                          occ_mode=occ_mode)
+                          occ_mode=occ_mode, leaf_rows=leaf_rows)
                 for g in geo]
 
         for l in range(n_lights):
@@ -640,7 +647,7 @@ def _kernel(depth_ref,
 def _occluded(nodes_ref, tris_ref, aux_ref, sx, sy, sz, ldx, ldy, ldz,
               tmax, n_lights, n_spheres, n_tris,
               stack_ref=None, stack_tn_ref=None, arity=0,
-              occ_mode="sort"):
+              occ_mode="sort", leaf_rows=1):
     """Embedded any-hit occlusion query (wide stack walk when ``arity``,
     else binary threaded traversal order — ordering buys little for
     any-hit, but the wide layout still quarters the step count).
@@ -730,9 +737,10 @@ def _occluded(nodes_ref, tris_ref, aux_ref, sx, sy, sz, ldx, ldy, ldz,
             leaf_row = jnp.maximum(-cursor - 2, 0)
 
             def leaf_tests(best):
-                for k in range(tris_ref.shape[1] // 9):
+                for rr, k in [(r_, k_) for r_ in range(leaf_rows)
+                              for k_ in range(PALLAS_LEAF)]:
                     b = 9 * k
-                    ok, t = mt(*tuple(tris_ref[leaf_row, b + j]
+                    ok, t = mt(*tuple(tris_ref[leaf_row + rr, b + j]
                                       for j in range(9)))
                     best = jnp.where(ok & (t < best), -1.0, best)
                 return best
@@ -766,12 +774,14 @@ def _occluded(nodes_ref, tris_ref, aux_ref, sx, sy, sz, ldx, ldy, ldz,
         is_leaf = count > 0
 
         def leaf_tests(best):
-            for k in range(tris_ref.shape[1] // 9):
+            for rr, k in [(r_, k_) for r_ in range(leaf_rows)
+                          for k_ in range(PALLAS_LEAF)]:
                 b = 9 * k
-                ok, t = mt(*tuple(tris_ref[leaf_row, b + j]
+                ok, t = mt(*tuple(tris_ref[leaf_row + rr, b + j]
                                   for j in range(9)))
-                best = jnp.where(ok & (k < count) & (t < best), -1.0,
-                                 best)
+                best = jnp.where(
+                    ok & ((rr * PALLAS_LEAF + k) < count) & (t < best),
+                    -1.0, best)
             return best
 
         best = jax.lax.cond(is_leaf & any_lane, leaf_tests,
@@ -889,7 +899,8 @@ def trace_segment(packed: PackedBVH, aux: jnp.ndarray, depth: jnp.ndarray,
                           n_tris=n_tris, n_mats=n_mats,
                           max_bounces=max_bounces, arity=arity,
                           fuse=fuse_shadows, record=record,
-                          unroll=walk_unroll, occ_mode=occ_mode),
+                          unroll=walk_unroll, occ_mode=occ_mode,
+                          leaf_rows=packed.rows_per_leaf),
         grid=grid,
         in_specs=[smem1,
                   tile, tile, tile, tile, tile, tile, tile,

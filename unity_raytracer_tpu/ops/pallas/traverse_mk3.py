@@ -40,25 +40,35 @@ PALLAS_LEAF = 14  # 14 tris x 9 floats = 126 lanes <= 128
 
 class PackedBVH(NamedTuple):
     nodes: jnp.ndarray      # [Nn, 16] f32 (6 box + 3 bitcast i32 + pad)
-    tris: jnp.ndarray       # [n_leaves, 128] f32
-    leaf_prim: jnp.ndarray  # [n_leaves, 14] i32 leaf slot -> leaf-order row
+    tris: jnp.ndarray       # [n_leaves*rpl, 128] f32 (rpl rows per leaf)
+    leaf_prim: jnp.ndarray  # [n_leaves*rpl, 14] i32 row slot -> tri row
     bvh: MeshBVH            # original (for prim_index / tri_verts)
-    # [n_leaves, 16] f32 combined-material-table id per leaf slot (exact
-    # small ints) — consumed by the fused segment megakernel
+    # [n_leaves*rpl, 16] f32 combined-material-table id per row slot
+    # (exact small ints) — consumed by the fused segment megakernel
     # (ops/pallas/mega.py); built by ops/bvh.prepare_bvh (needs the scene)
     leafmeta: jnp.ndarray | None = None
     # [Nw, 8*arity] f32 wide (BVH4/8) interior rows — built by
     # traverse_wide.widen on top of this packed layout; leaf rows are
     # shared. Consumed by traverse_wide + the wide megakernel walks.
     wide: jnp.ndarray | None = None
+    # shape tag: rows per leaf = leaf_tag.shape[0] (shapes are static
+    # under jit, so kernels can unroll it; a plain int field would
+    # flatten into a traced pytree leaf)
+    leaf_tag: jnp.ndarray | None = None
+
+    @property
+    def rows_per_leaf(self) -> int:
+        return 1 if self.leaf_tag is None else self.leaf_tag.shape[0]
 
 
 def pack_rows(bvh: MeshBVH, leaf_slots: int = PALLAS_LEAF) -> PackedBVH:
     """Host-side repack (numpy). Requires every leaf count <=
-    ``leaf_slots``; the tris row width is 9*leaf_slots rounded up to
-    whole 128-lane registers, and every kernel derives its leaf-loop
-    trip count from ``tris.shape[1] // 9`` — so alternative leaf
-    capacities (e.g. 28 -> 256-lane rows) need no kernel changes."""
+    ``leaf_slots``. Leaves wider than PALLAS_LEAF span CONSECUTIVE
+    128-lane rows (rows stay 128 lanes — Mosaic's dynamic-sublane +
+    static-lane scalar loads only reach the first register; 256-lane
+    rows crash the native compiler, measured r3). ``nodes`` leaf ids
+    point at the FIRST row; ``leaf_tag.shape[0]`` carries the static
+    rows-per-leaf count for the kernels' unrolled row loop."""
     first = np.asarray(bvh.first)
     count = np.asarray(bvh.count)
     miss = np.asarray(bvh.miss_next)
@@ -72,20 +82,20 @@ def pack_rows(bvh: MeshBVH, leaf_slots: int = PALLAS_LEAF) -> PackedBVH:
             f"leaf_size={leaf_slots} for the pallas path")
 
     is_leaf = count > 0
-    leaf_ids = np.cumsum(is_leaf) - 1          # node -> leaf row
+    leaf_ids = np.cumsum(is_leaf) - 1          # node -> leaf id
     n_leaves = int(is_leaf.sum())
+    rpl = -(-leaf_slots // PALLAS_LEAF)        # rows per leaf
 
-    width = -(-9 * leaf_slots // 128) * 128
-    # the kernels loop range(width // 9); keep pad slots degenerate
-    # (all-zero triangles reject via det==0) INSIDE the row too
-    tris = np.zeros((max(n_leaves, 1), width), np.float32)
-    leaf_prim = np.full((max(n_leaves, 1), width // 9), -1, np.int32)
+    rows = max(n_leaves, 1) * rpl
+    tris = np.zeros((rows, 128), np.float32)
+    leaf_prim = np.full((rows, PALLAS_LEAF), -1, np.int32)
     leaf_nodes = np.nonzero(is_leaf)[0]
     for r, node in enumerate(leaf_nodes):
         f0, c = first[node], count[node]
         for k in range(c):
-            tris[r, 9 * k: 9 * k + 9] = tv[f0 + k]
-            leaf_prim[r, k] = f0 + k
+            rr, kk = divmod(k, PALLAS_LEAF)
+            tris[r * rpl + rr, 9 * kk: 9 * kk + 9] = tv[f0 + k]
+            leaf_prim[r * rpl + rr, kk] = f0 + k
 
     # meta stored as float VALUES (exact integers below 2^24 — node/leaf
     # counts are far below); Mosaic has no scalar bitcast, and float
@@ -93,7 +103,7 @@ def pack_rows(bvh: MeshBVH, leaf_slots: int = PALLAS_LEAF) -> PackedBVH:
     nodes = np.zeros((nn, 16), np.float32)
     nodes[:, 0:3] = nmin
     nodes[:, 3:6] = nmax
-    nodes[:, 6] = np.where(is_leaf, leaf_ids, -1).astype(np.float32)
+    nodes[:, 6] = np.where(is_leaf, leaf_ids * rpl, -1).astype(np.float32)
     nodes[:, 7] = count.astype(np.float32)
     nodes[:, 8] = miss.astype(np.float32)
     # lane 9: right-child index for interior nodes (-1 for leaves). DFS
@@ -107,12 +117,13 @@ def pack_rows(bvh: MeshBVH, leaf_slots: int = PALLAS_LEAF) -> PackedBVH:
     nodes[:, 9] = right.astype(np.float32)
 
     return PackedBVH(nodes=jnp.asarray(nodes), tris=jnp.asarray(tris),
-                     leaf_prim=jnp.asarray(leaf_prim), bvh=bvh)
+                     leaf_prim=jnp.asarray(leaf_prim), bvh=bvh,
+                     leaf_tag=jnp.zeros((rpl,), jnp.float32))
 
 
 def _kernel(ox_ref, oy_ref, oz_ref, dx_ref, dy_ref, dz_ref, tmax_ref,
             nodes_ref, tris_ref, t_out_ref, slot_out_ref, leaf_out_ref,
-            *, any_hit: bool = False):
+            *, any_hit: bool = False, leaf_rows: int = 1):
     ox, oy, oz = ox_ref[:], oy_ref[:], oz_ref[:]
     dx, dy, dz = dx_ref[:], dy_ref[:], dz_ref[:]
 
@@ -166,18 +177,20 @@ def _kernel(ox_ref, oy_ref, oz_ref, dx_ref, dy_ref, dz_ref, tmax_ref,
 
         def leaf_tests(args):
             best_t, best_slot, best_leaf = args
-            for k in range(tris_ref.shape[1] // 9):
+            for rr, k in [(r_, k_) for r_ in range(leaf_rows)
+                          for k_ in range(PALLAS_LEAF)]:
+                row = leaf_row + rr
                 b = 9 * k
-                ok = k < count
-                v0x = tris_ref[leaf_row, b]
-                v0y = tris_ref[leaf_row, b + 1]
-                v0z = tris_ref[leaf_row, b + 2]
-                e1x = tris_ref[leaf_row, b + 3] - v0x
-                e1y = tris_ref[leaf_row, b + 4] - v0y
-                e1z = tris_ref[leaf_row, b + 5] - v0z
-                e2x = tris_ref[leaf_row, b + 6] - v0x
-                e2y = tris_ref[leaf_row, b + 7] - v0y
-                e2z = tris_ref[leaf_row, b + 8] - v0z
+                ok = (rr * PALLAS_LEAF + k) < count
+                v0x = tris_ref[row, b]
+                v0y = tris_ref[row, b + 1]
+                v0z = tris_ref[row, b + 2]
+                e1x = tris_ref[row, b + 3] - v0x
+                e1y = tris_ref[row, b + 4] - v0y
+                e1z = tris_ref[row, b + 5] - v0z
+                e2x = tris_ref[row, b + 6] - v0x
+                e2y = tris_ref[row, b + 7] - v0y
+                e2z = tris_ref[row, b + 8] - v0z
                 px = dy * e2z - dz * e2y
                 py = dz * e2x - dx * e2z
                 pz = dx * e2y - dy * e2x
@@ -200,7 +213,7 @@ def _kernel(ox_ref, oy_ref, oz_ref, dx_ref, dy_ref, dz_ref, tmax_ref,
                 # lane at -1 so no later box or leaf test touches it
                 best_t = jnp.where(upd, -1.0 if any_hit else t, best_t)
                 best_slot = jnp.where(upd, k, best_slot)
-                best_leaf = jnp.where(upd, leaf_row, best_leaf)
+                best_leaf = jnp.where(upd, row, best_leaf)
             return best_t, best_slot, best_leaf
 
         best_t, best_slot, best_leaf = jax.lax.cond(
@@ -267,7 +280,8 @@ def traverse_packet3(packed: PackedBVH, o: jnp.ndarray, d: jnp.ndarray,
     # re-derived below from the ORIGINAL (non-stopped) rays.
     sg = jax.lax.stop_gradient
     t_out, slot_out, leaf_out = pl.pallas_call(
-        functools.partial(_kernel, any_hit=any_hit),
+        functools.partial(_kernel, any_hit=any_hit,
+                          leaf_rows=packed.rows_per_leaf),
         grid=grid,
         in_specs=[tile, tile, tile, tile, tile, tile, tile,
                   rep(*packed.nodes.shape), rep(*packed.tris.shape)],

@@ -38,7 +38,8 @@ STACK = 96  # >= max tree depth (SAH over 100k tris is ~25; 96 is ample)
 
 def _kernel(ox_ref, oy_ref, oz_ref, dx_ref, dy_ref, dz_ref, tmax_ref,
             nodes_ref, tris_ref, t_out_ref, slot_out_ref, leaf_out_ref,
-            stack_ref, stack_tn_ref, *, any_hit: bool = False):
+            stack_ref, stack_tn_ref, *, any_hit: bool = False,
+            leaf_rows: int = 1):
     ox, oy, oz = ox_ref[:], oy_ref[:], oz_ref[:]
     dx, dy, dz = dx_ref[:], dy_ref[:], dz_ref[:]
 
@@ -91,18 +92,20 @@ def _kernel(ox_ref, oy_ref, oz_ref, dx_ref, dy_ref, dz_ref, tmax_ref,
 
         def leaf_tests(args):
             best_t, best_slot, best_leaf = args
-            for k in range(tris_ref.shape[1] // 9):
+            for rr, k in [(r_, k_) for r_ in range(leaf_rows)
+                          for k_ in range(PALLAS_LEAF)]:
+                row = leaf_row + rr
                 b = 9 * k
-                ok = k < count
-                v0x = tris_ref[leaf_row, b]
-                v0y = tris_ref[leaf_row, b + 1]
-                v0z = tris_ref[leaf_row, b + 2]
-                e1x = tris_ref[leaf_row, b + 3] - v0x
-                e1y = tris_ref[leaf_row, b + 4] - v0y
-                e1z = tris_ref[leaf_row, b + 5] - v0z
-                e2x = tris_ref[leaf_row, b + 6] - v0x
-                e2y = tris_ref[leaf_row, b + 7] - v0y
-                e2z = tris_ref[leaf_row, b + 8] - v0z
+                ok = (rr * PALLAS_LEAF + k) < count
+                v0x = tris_ref[row, b]
+                v0y = tris_ref[row, b + 1]
+                v0z = tris_ref[row, b + 2]
+                e1x = tris_ref[row, b + 3] - v0x
+                e1y = tris_ref[row, b + 4] - v0y
+                e1z = tris_ref[row, b + 5] - v0z
+                e2x = tris_ref[row, b + 6] - v0x
+                e2y = tris_ref[row, b + 7] - v0y
+                e2z = tris_ref[row, b + 8] - v0z
                 px = dy * e2z - dz * e2y
                 py = dz * e2x - dx * e2z
                 pz = dx * e2y - dy * e2x
@@ -123,7 +126,7 @@ def _kernel(ox_ref, oy_ref, oz_ref, dx_ref, dy_ref, dz_ref, tmax_ref,
                 upd = good & (t < best_t)
                 best_t = jnp.where(upd, -1.0 if any_hit else t, best_t)
                 best_slot = jnp.where(upd, k, best_slot)
-                best_leaf = jnp.where(upd, leaf_row, best_leaf)
+                best_leaf = jnp.where(upd, row, best_leaf)
             return best_t, best_slot, best_leaf
 
         best_t, best_slot, best_leaf = jax.lax.cond(
@@ -220,7 +223,8 @@ def traverse_packet4(packed: PackedBVH, o: jnp.ndarray, d: jnp.ndarray,
     # traversal is index logic) — differentiable t re-derived below
     sg = jax.lax.stop_gradient
     t_out, slot_out, leaf_out = pl.pallas_call(
-        functools.partial(_kernel, any_hit=any_hit),
+        functools.partial(_kernel, any_hit=any_hit,
+                          leaf_rows=packed.rows_per_leaf),
         grid=grid,
         in_specs=[tile, tile, tile, tile, tile, tile, tile,
                   rep(*packed.nodes.shape), rep(*packed.tris.shape)],
