@@ -91,19 +91,19 @@ def main():
 
     if "sweep" in STEPS:
         variants = [
-            # shipped default (leaf 14) as the reference point
-            ("leaf14_a4_u2_t2048", dict(bvh_arity=4, walk_unroll=2,
-                                        tile_r=2048, bvh_leaf=14)),
-            ("leaf28_a4_u2_t2048", dict(bvh_arity=4, walk_unroll=2,
-                                        tile_r=2048, bvh_leaf=28)),
-            ("leaf28_a4_u1_t2048", dict(bvh_arity=4, walk_unroll=1,
-                                        tile_r=2048, bvh_leaf=28)),
+            # shipped default (leaf 42) as the reference point
             ("leaf42_a4_u2_t2048", dict(bvh_arity=4, walk_unroll=2,
                                         tile_r=2048, bvh_leaf=42)),
-            ("leaf28_a8_u2_t2048", dict(bvh_arity=8, walk_unroll=2,
-                                        tile_r=2048, bvh_leaf=28)),
-            ("leaf28_a4_u2_t4096", dict(bvh_arity=4, walk_unroll=2,
-                                        tile_r=4096, bvh_leaf=28)),
+            ("leaf56_a4_u2_t2048", dict(bvh_arity=4, walk_unroll=2,
+                                        tile_r=2048, bvh_leaf=56)),
+            ("leaf70_a4_u2_t2048", dict(bvh_arity=4, walk_unroll=2,
+                                        tile_r=2048, bvh_leaf=70)),
+            ("leaf42_a4_u3_t2048", dict(bvh_arity=4, walk_unroll=3,
+                                        tile_r=2048, bvh_leaf=42)),
+            ("leaf42_a4_u2_t1024", dict(bvh_arity=4, walk_unroll=2,
+                                        tile_r=1024, bvh_leaf=42)),
+            ("leaf42_a8_u2_t2048", dict(bvh_arity=8, walk_unroll=2,
+                                        tile_r=2048, bvh_leaf=42)),
         ]
         ref_mean = None
         for name, kw in variants:
@@ -148,7 +148,7 @@ def main():
                                  2 if "u2" in n else 1)
             kw["tile_r"] = (4096 if "t4096" in n else
                             2048 if "t2048" in n else 1024)
-            for lf in (42, 28, 14):
+            for lf in (70, 56, 42, 28, 14):
                 if f"leaf{lf}" in n:
                     kw["bvh_leaf"] = lf
         cfg = cfg0.with_(**kw)
