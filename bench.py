@@ -236,7 +236,9 @@ def run_once(name="mesh100k", width=None, height=None, repeats=3,
     # Compute model (docs/KERNELS.md "Compute-roofline model"): measured
     # per-tile union node visits x per-visit flops -> ~75 GFLOP/frame on
     # the flagship against the ~1.5 TF/s f32 VPU rate measured on this
-    # chip => ~830M issued rays/s bound. Flagship-scene-specific.
+    # chip => ~830M issued rays/s bound. Flagship-scene-specific, and
+    # modeled on the leaf-14 tree — indicative (not exact) for the
+    # shipped leaf-42 tree, which trades interior steps for leaf tests.
     compute_bound = 830e6 if name == "mesh100k" else None
     frac_compute = (fwd / compute_bound) if compute_bound else None
 

@@ -39,7 +39,7 @@ def main():
     from unity_raytracer_tpu.parallel import shard as shardmod
 
     n_dev = len(jax.devices())
-    scene, cam, cfg = mesh_scene(10240, width=256, height=256)
+    scene, cam, cfg = mesh_scene(10240, width=96, height=96)
     o, d = generate_rays(cam)
     rows = []
 
@@ -88,7 +88,7 @@ def main():
                 "caveat as the dp table: virtual devices share one "
                 "socket, so these prove the regimes run and agree, not "
                 "real scaling.",
-        "scene": "mesh10k, 256x256 primary rays",
+        "scene": "mesh10k, 96x96 primary rays (brute reference is O(rays*tris) on the host CPU — kept small)",
         "rows": rows,
     }
     json.dump(art, open("/root/repo/SCALING_r03.json", "w"), indent=1)
