@@ -241,6 +241,8 @@ def run_once(name="mesh100k", width=None, height=None, repeats=3,
     # shipped leaf-42 tree, which trades interior steps for leaf tests.
     compute_bound = 830e6 if name == "mesh100k" else None
     frac_compute = (fwd / compute_bound) if compute_bound else None
+    frac_compute_fb = ((fwd_bwd / compute_bound)
+                       if compute_bound and fwd_bwd else None)
 
     return {
         "preset": name,
@@ -265,6 +267,7 @@ def run_once(name="mesh100k", width=None, height=None, repeats=3,
         "fraction_of_hbm_roofline": roof["fraction_of_roofline"],
         "hbm_bound_rays_per_s": roof["hbm_bound_rays_per_s"],
         "fraction_of_compute_roofline": frac_compute,
+        "fraction_of_compute_roofline_fwd_bwd": frac_compute_fb,
         "compute_bound_rays_per_s": compute_bound,
         "device": str(jax.devices()[0]),
     }
@@ -393,6 +396,8 @@ def main():
         "grad_composed_s": r["grad_composed_s"],
         "fraction_of_hbm_roofline": r["fraction_of_hbm_roofline"],
         "fraction_of_compute_roofline": r["fraction_of_compute_roofline"],
+        "fraction_of_compute_roofline_fwd_bwd":
+            r["fraction_of_compute_roofline_fwd_bwd"],
         "kernel": r["kernel"],
     }
     print(json.dumps(out))

@@ -65,25 +65,41 @@ def cmd_fit(args):
 
     from unity_raytracer_tpu.fit import FitConfig, fit, get_params
     from unity_raytracer_tpu.models.camera import Camera
-    from unity_raytracer_tpu.models.presets import three_spheres
+    from unity_raytracer_tpu.models.presets import get_preset, three_spheres
     from unity_raytracer_tpu.ops.render import render, resolve_mode
     from unity_raytracer_tpu.utils import image as imgutil
     import jax.numpy as jnp
 
-    scene, _, cfg = three_spheres(width=args.size, height=args.size)
-    cfg = resolve_mode(scene, cfg.with_(max_bounces=0))
-    cam = Camera.from_fov(position=(0, 5, 6), look_at=(0, 2.5, 26),
-                          fov_y_deg=40.0, width=args.size, height=args.size)
-    target = render(scene, cam, cfg)
+    if args.preset == "three_spheres":
+        # toy config: brute force, depth 0, custom close-up camera
+        scene, _, cfg = three_spheres(width=args.size, height=args.size)
+        cfg = resolve_mode(scene, cfg.with_(max_bounces=0))
+        cam = Camera.from_fov(position=(0, 5, 6), look_at=(0, 2.5, 26),
+                              fov_y_deg=40.0, width=args.size,
+                              height=args.size)
+        bvh = None
+    else:
+        # any preset (e.g. mesh10k): BVH + chunked/remat gradient step
+        scene, cam, cfg = get_preset(args.preset, width=args.size,
+                                     height=args.size)
+        cfg = resolve_mode(scene, cfg.with_(
+            max_bounces=min(cfg.max_bounces, 1),
+            ray_chunk=args.size * args.size // 4 or None, remat=True))
+        bvh = None
+        if cfg.use_bvh:
+            from unity_raytracer_tpu.ops import bvh as bvhmod
+            bvh = bvhmod.prepare_bvh(scene, cfg)
+    target = render(scene, cam, cfg, bvh=bvh)
     true_p = get_params(scene, ("sphere_centers", "sphere_diffuse"))
+    n_sph = np.asarray(true_p["sphere_centers"]).shape[0]
     rng = np.random.default_rng(args.seed)
     init = {
         "sphere_centers": true_p["sphere_centers"]
-        + jnp.asarray(rng.uniform(-0.4, 0.4, (3, 3)), jnp.float32),
+        + jnp.asarray(rng.uniform(-0.4, 0.4, (n_sph, 3)), jnp.float32),
         "sphere_diffuse": jnp.clip(
             true_p["sphere_diffuse"]
-            + jnp.asarray(rng.uniform(-0.2, 0.2, (3, 3)), jnp.float32),
-            0.0, 1.0),
+            + jnp.asarray(rng.uniform(-0.2, 0.2, (n_sph, 3)),
+                          jnp.float32), 0.0, 1.0),
     }
     fcfg = FitConfig(param_names=("sphere_centers", "sphere_diffuse"),
                      learning_rate=args.lr, steps=args.steps,
@@ -92,14 +108,14 @@ def cmd_fit(args):
                      checkpoint_every=args.ckpt_every,
                      checkpoint_path=(f"{args.out_dir}/fit.npz"
                                       if args.out_dir else None))
-    res = fit(scene, cam, cfg, target, fcfg, init_params=init)
+    res = fit(scene, cam, cfg, target, fcfg, init_params=init, bvh=bvh)
     err = np.abs(np.asarray(res.params["sphere_centers"])
                  - np.asarray(true_p["sphere_centers"])).max()
     print(json.dumps({"final_loss": float(res.losses[-1]),
                       "loss_ratio": float(res.losses[-1] / res.losses[0]),
                       "center_err": float(err)}))
     if args.out_dir:
-        final = np.asarray(render(res.scene, cam, cfg))
+        final = np.asarray(render(res.scene, cam, cfg, bvh=bvh))
         imgutil.write_png(f"{args.out_dir}/recovered.png", final)
         imgutil.write_png(f"{args.out_dir}/target.png", np.asarray(target))
 
@@ -139,6 +155,9 @@ def main():
     b.set_defaults(fn=cmd_bench)
 
     f = sub.add_parser("fit", help="inverse-rendering demo (config 4)")
+    f.add_argument("--preset", default="three_spheres",
+                   help="scene preset; non-toy presets fit with BVH + "
+                        "chunked/remat gradients at depth 1")
     f.add_argument("--size", type=int, default=48)
     f.add_argument("--steps", type=int, default=300)
     f.add_argument("--lr", type=float, default=0.02)
