@@ -122,6 +122,37 @@ def main():
             except Exception as e:  # keep the session alive
                 emit(step="sweep", variant=name, error=repr(e)[:300])
 
+    if "decomp" in STEPS:
+        # where does the shipped frame's time go? Ablate one stage at a
+        # time at the shipped defaults (leaf42/a4/u2/t2048).
+        import dataclasses as dc
+
+        import jax.numpy as jnp2
+
+        packed = packed_for(4, 42)
+        cfg = cfg0
+
+        def run(name, scn, c):
+            try:
+                tcomp, t, img = timed(
+                    lambda: render_frame(scn, cam, c, bvh=packed))
+                emit(step="decomp", variant=name, frame_s=t,
+                     compile_s=tcomp)
+            except Exception as e:
+                emit(step="decomp", variant=name, error=repr(e)[:200])
+
+        run("full", scene, cfg)
+        # lights invalidated: the fused occlusion walk exits instantly
+        # (need=False => tmax=-1 for every lane) -> nearest+shade only
+        dark = dc.replace(scene, lights=dc.replace(
+            scene.lights,
+            valid=jnp2.zeros_like(scene.lights.valid)))
+        run("no_shadow_walk", dark, cfg)
+        # depth 0: segment 0 only (primary nearest + shadows + shade)
+        run("depth0", scene, cfg.with_(max_bounces=0))
+        # per-light walks instead of the fused one
+        run("unfused_shadows", scene, cfg.with_(fuse_shadows=False))
+
     if "grad" in STEPS:
         from unity_raytracer_tpu.fit import (get_params,
                                              make_chunked_value_and_grad)
