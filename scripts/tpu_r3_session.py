@@ -91,19 +91,19 @@ def main():
 
     if "sweep" in STEPS:
         variants = [
-            # shipped default (leaf 42) as the reference point
+            # shipped default (leaf42, per-light shadow walks) as ref
             ("leaf42_a4_u2_t2048", dict(bvh_arity=4, walk_unroll=2,
                                         tile_r=2048, bvh_leaf=42)),
-            ("leaf56_a4_u2_t2048", dict(bvh_arity=4, walk_unroll=2,
-                                        tile_r=2048, bvh_leaf=56)),
-            ("leaf70_a4_u2_t2048", dict(bvh_arity=4, walk_unroll=2,
-                                        tile_r=2048, bvh_leaf=70)),
-            ("leaf42_a4_u3_t2048", dict(bvh_arity=4, walk_unroll=3,
-                                        tile_r=2048, bvh_leaf=42)),
-            ("leaf42_a4_u2_t1024", dict(bvh_arity=4, walk_unroll=2,
-                                        tile_r=1024, bvh_leaf=42)),
-            ("leaf42_a8_u2_t2048", dict(bvh_arity=8, walk_unroll=2,
-                                        tile_r=2048, bvh_leaf=42)),
+            ("leaf28_unf", dict(bvh_arity=4, walk_unroll=2,
+                                tile_r=2048, bvh_leaf=28)),
+            ("leaf56_unf", dict(bvh_arity=4, walk_unroll=2,
+                                tile_r=2048, bvh_leaf=56)),
+            ("leaf42_u3_unf", dict(bvh_arity=4, walk_unroll=3,
+                                   tile_r=2048, bvh_leaf=42)),
+            ("leaf42_u4_unf", dict(bvh_arity=4, walk_unroll=4,
+                                   tile_r=2048, bvh_leaf=42)),
+            ("leaf42_t4096_unf", dict(bvh_arity=4, walk_unroll=2,
+                                      tile_r=4096, bvh_leaf=42)),
         ]
         ref_mean = None
         for name, kw in variants:

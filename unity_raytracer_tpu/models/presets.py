@@ -181,15 +181,15 @@ def mesh_scene(n_tris: int = 10240, width: int = 1024, height: int = 1024,
     cam = Camera.make(position=(0, 7, -2), forward=(0, -0.1, 1), up=(0, 1, 0),
                       dist=1.0, half_h=0.7, half_v=0.7 * height / width,
                       width=width, height=height)
-    # tile_r=2048 + walk_unroll=2 + 42-tri multi-row leaves + per-light
+    # tile_r=2048 + walk_unroll=2 + 56-tri multi-row leaves + per-light
     # shadow walks measured fastest on v5e (r3 sweeps, docs/KERNELS.md):
     # ~102ms on the flagship frame vs 147ms at the bare defaults. NOTE
-    # fuse_shadows flipped at leaf42 — fused leaf visits pay
-    # 42 tris x L lights each, so separate per-light walks win at fat
+    # fuse_shadows flipped at fat leaves — fused leaf visits pay
+    # leaf_size x L triangle tests each, so per-light walks win at fat
     # leaves (the r2 conclusion held only for 14-tri leaves).
     cfg = RenderConfig(max_bounces=4, background=(0.04, 0.05, 0.07),
                        use_bvh=use_bvh, tile_r=2048, walk_unroll=2,
-                       bvh_leaf=42, fuse_shadows=False)
+                       bvh_leaf=56, fuse_shadows=False)
     return scene, cam, cfg
 
 
