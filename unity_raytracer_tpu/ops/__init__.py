@@ -8,6 +8,10 @@ from unity_raytracer_tpu.ops.intersect import (
     nearest_hit,
 )
 from unity_raytracer_tpu.ops.render import render, trace_radiance
+from unity_raytracer_tpu.ops.replay import (
+    replay_value_and_grad,
+    trace_radiance_replay,
+)
 
 __all__ = [
     "ray_aabb",
@@ -17,4 +21,6 @@ __all__ = [
     "nearest_hit",
     "render",
     "trace_radiance",
+    "trace_radiance_replay",
+    "replay_value_and_grad",
 ]
