@@ -132,3 +132,55 @@ def test_mega_depth0_background(small_scene):
     img_mega = np.asarray(render(scene, cam, cfg.with_(kernel="mega"),
                                  bvh=packed))
     np.testing.assert_allclose(img_mega, img_ref, rtol=2e-4, atol=2e-4)
+
+
+def test_mega_shipped_flagship_knobs(small_scene):
+    """Depth-2 mirror-chain parity on EXACTLY the shipped flagship knob
+    set (models/presets.py mesh_scene defaults): per-light shadow walks
+    (fuse_shadows=False), 56-tri 4-row leaves, walk_unroll=2,
+    occ_mode='sort'. CI fails if the shipped configuration regresses
+    (VERDICT r3 next-step #6); tile_r scaled down to the test frame."""
+    scene, cam = small_scene
+    cfg = RenderConfig(max_bounces=2, background=(0.04, 0.05, 0.07),
+                       use_bvh=True, mode="scan", block_size=16,
+                       tile_r=256, bvh_leaf=56, walk_unroll=2,
+                       fuse_shadows=False, occ_mode="sort")
+    packed = bvhmod.prepare_bvh(scene, cfg.with_(kernel="mega"))
+    assert packed.rows_per_leaf == 4
+    img_ref = np.asarray(render(scene, cam, cfg.with_(kernel="xla"),
+                                bvh=packed))
+    img_mega = np.asarray(render(scene, cam, cfg.with_(kernel="mega"),
+                                 bvh=packed))
+    assert np.isfinite(img_mega).all()
+    np.testing.assert_allclose(img_mega, img_ref, rtol=2e-4, atol=2e-4)
+    assert img_ref.std() > 0.01
+
+
+def test_mega_light_cull_bounded_and_parity(small_scene):
+    """cfg.light_cull drops lights whose conservative contribution bound
+    (max(kd)+max(ks))*max(I)/d^2 is under the threshold. The error must
+    stay within the documented bound (threshold per light per segment,
+    /255 on the display scale) and the megakernel must apply the SAME
+    gate as the composed path."""
+    scene, cam = small_scene
+    tau = 2.0
+    cfg = RenderConfig(max_bounces=2, background=(0.04, 0.05, 0.07),
+                       use_bvh=True, mode="scan", block_size=32)
+    packed = bvhmod.prepare_bvh(scene, cfg.with_(kernel="mega"))
+    img_exact = np.asarray(render(scene, cam, cfg.with_(kernel="xla"),
+                                  bvh=packed))
+    img_cx = np.asarray(render(scene, cam,
+                               cfg.with_(kernel="xla", light_cull=tau),
+                               bvh=packed))
+    img_cm = np.asarray(render(scene, cam,
+                               cfg.with_(kernel="mega", light_cull=tau),
+                               bvh=packed))
+    # the cull must actually fire on this scene at this threshold
+    diff = np.abs(img_cx - img_exact).max()
+    assert diff > 0.0, "light_cull never fired; test proves nothing"
+    n_lights = 2
+    bound = (cfg.max_bounces + 1) * n_lights * tau / 255.0
+    assert diff <= bound + 1e-6
+    # mega applies the same gate (boundary lanes may flip on fp noise;
+    # each flip is bounded by tau/255 on the display scale)
+    np.testing.assert_allclose(img_cm, img_cx, rtol=2e-4, atol=0.01)

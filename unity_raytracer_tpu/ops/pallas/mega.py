@@ -234,7 +234,8 @@ def _kernel(depth_ref,
             n_lights: int, n_spheres: int, n_tris: int, n_mats: int,
             max_bounces: int, arity: int = 0, fuse: bool = True,
             record: bool = False, unroll: int = 1,
-            occ_mode: str = "sort", leaf_rows: int = 1):
+            occ_mode: str = "sort", leaf_rows: int = 1,
+            light_cull: float = 0.0):
     # trailing refs: optional hit-record outputs, then the SMEM scratch
     stack_ref, stack_tn_ref = rest[-2:]
     if record:
@@ -540,6 +541,12 @@ def _kernel(depth_ref,
 
         # per-light geometry pass (static unroll; all vectors stay live
         # across the fused occlusion walk — ~10 tile-vectors per light)
+        if light_cull > 0.0:
+            # conservative contribution bound (max(kd)+max(ks))*max(I)/d^2:
+            # lanes below threshold skip the shadow walk AND the light's
+            # terms (bounded error <= light_cull per light; cfg docstring)
+            kdks = (jnp.maximum(jnp.maximum(kd_r, kd_g), kd_b)
+                    + jnp.maximum(jnp.maximum(ks_r, ks_g), ks_b))
         geo = []
         for l in range(n_lights):
             r = 1 + l
@@ -552,6 +559,11 @@ def _kernel(depth_ref,
             ldx, ldy, ldz = lvx * linv, lvy * linv, lvz * linv
             ln = ldx * bnx + ldy * bny + ldz * bnz
             need = hit & (ln >= 0.0) & lvalid
+            if light_cull > 0.0:
+                imax = jnp.maximum(jnp.maximum(aux_ref[r, 3],
+                                               aux_ref[r, 4]),
+                                   aux_ref[r, 5])
+                need = need & (kdks * imax >= light_cull * ld2)
             geo.append((ldx, ldy, ldz, ln, need, ldist, ld2))
 
         if arity and n_lights and fuse:
@@ -841,7 +853,8 @@ def trace_segment(packed: PackedBVH, aux: jnp.ndarray, depth: jnp.ndarray,
                   n_tris: int, max_bounces: int, interpret: bool = False,
                   tile_r: int = TILE_R, use_wide: bool | None = None,
                   fuse_shadows: bool = True, record: bool = False,
-                  walk_unroll: int = 1, occ_mode: str = "sort"):
+                  walk_unroll: int = 1, occ_mode: str = "sort",
+                  light_cull: float = 0.0):
     """One fused bounce segment over all rays.
 
     Returns ``(delta [N,3], o' [N,3], d' [N,3], thr' [N,3], tmax' [N])``:
@@ -862,6 +875,13 @@ def trace_segment(packed: PackedBVH, aux: jnp.ndarray, depth: jnp.ndarray,
     if packed.leafmeta is None:
         raise ValueError("PackedBVH.leafmeta missing — build the BVH via "
                          "prepare_bvh for the megakernel path")
+    if record and n_lights > 24:
+        # per-light occlusion bits are packed as a float32 sum of 2^l;
+        # f32 integer exactness ends at 2^24 and the shift unpacking in
+        # ops/replay.py is undefined past bit 31 (advisor r3 finding)
+        raise ValueError(
+            f"record=True packs per-light occlusion bits into one f32 "
+            f"(exact only for <= 24 lights); got n_lights={n_lights}")
     n = o.shape[0]
     n_pad = (-n) % tile_r
     pad1 = lambda x, v: (jnp.concatenate(
@@ -900,7 +920,8 @@ def trace_segment(packed: PackedBVH, aux: jnp.ndarray, depth: jnp.ndarray,
                           max_bounces=max_bounces, arity=arity,
                           fuse=fuse_shadows, record=record,
                           unroll=walk_unroll, occ_mode=occ_mode,
-                          leaf_rows=packed.rows_per_leaf),
+                          leaf_rows=packed.rows_per_leaf,
+                          light_cull=light_cull),
         grid=grid,
         in_specs=[smem1,
                   tile, tile, tile, tile, tile, tile, tile,

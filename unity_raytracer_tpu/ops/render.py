@@ -98,7 +98,8 @@ def _local_radiance(scene: Scene, o, d, cfg: RenderConfig,
         scene, p, n, v, mats,
         soft_shadow_temp=cfg.diff.soft_shadow_temp,
         straight_through=cfg.diff.straight_through, bvh=bvh,
-        kernel=cfg.kernel, mask=shadow_mask, with_stats=True)
+        kernel=cfg.kernel, mask=shadow_mask,
+        light_cull=cfg.light_cull, with_stats=True)
     bg = jnp.asarray(cfg.background, jnp.float32) * 255.0
     local_safe = jnp.where(shade_mask[:, None], local, bg[None, :])
     contrib = bg[None, :] + w[:, None] * (local_safe - bg[None, :])
@@ -129,7 +130,8 @@ def _trace_chain_mega(scene: Scene, o: jnp.ndarray, d: jnp.ndarray,
               use_wide=cfg.bvh_arity != 0,
               fuse_shadows=cfg.fuse_shadows,
               walk_unroll=cfg.walk_unroll,
-              occ_mode=cfg.occ_mode)
+              occ_mode=cfg.occ_mode,
+              light_cull=cfg.light_cull)
 
     acc0 = jnp.zeros((n_rays, 3), jnp.float32)
     thr0 = jnp.ones((n_rays, 3), jnp.float32)
@@ -328,6 +330,19 @@ def _trace_tree(scene: Scene, o: jnp.ndarray, d: jnp.ndarray,
                 live = live & jnp.any(weight != 0.0, axis=-1)
                 score = jnp.where(
                     live, jnp.sum(jnp.abs(weight), axis=-1), -1.0)
+                # truncation is silent accuracy loss when it actually
+                # fires (live weighted lanes beyond the cap are dropped
+                # weakest-first) — make that detectable (advisor r3)
+                n_dropped = jnp.maximum(
+                    jnp.sum(live.astype(jnp.int32)) - cap, 0)
+                jax.lax.cond(
+                    n_dropped > 0,
+                    lambda k: jax.debug.print(
+                        "unity_raytracer_tpu: tree_cap={c} truncated {k} "
+                        "live refraction lanes at level {l} (raise "
+                        "cfg.tree_cap for exactness)", c=cfg.tree_cap,
+                        k=k, l=level),
+                    lambda k: None, n_dropped)
                 order = jnp.argsort(-score)[:cap]
                 o = jnp.take(o, order, axis=0)
                 d = jnp.take(d, order, axis=0)

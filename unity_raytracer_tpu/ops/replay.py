@@ -90,6 +90,7 @@ def trace_records(scene: Scene, o: jnp.ndarray, d: jnp.ndarray,
               fuse_shadows=cfg.fuse_shadows,
               walk_unroll=cfg.walk_unroll,
               occ_mode=cfg.occ_mode,
+              light_cull=cfg.light_cull,
               record=True)
 
     acc0 = jnp.zeros((n_rays, 3), jnp.float32)
@@ -140,7 +141,8 @@ def _sphere_t(o, d, center, r2, selected):
 
 
 def replay_lighting(scene: Scene, p, n, v, mats: Materials,
-                    occbits: jnp.ndarray, mask: jnp.ndarray):
+                    occbits: jnp.ndarray, mask: jnp.ndarray,
+                    light_cull: float = 0.0):
     """Direct lighting with visibility frozen to the recorded per-light
     occlusion bits — same terms as shade.direct_lighting, no queries."""
     occ_int = occbits.astype(jnp.int32)
@@ -157,6 +159,14 @@ def replay_lighting(scene: Scene, p, n, v, mats: Materials,
     occ = jnp.stack([(occ_int >> l) & 1 for l in range(L)],
                     axis=1) > 0                                 # [N,L]
     need = (ln >= 0.0) & scene.lights.valid[None, :] & mask[:, None]
+    if light_cull > 0.0:
+        # same attenuation gate as the recording megakernel — culled
+        # lanes' bits were never computed, so their terms must stay off
+        kdks = (jnp.max(mats.diffuse, axis=-1)
+                + jnp.max(mats.specular, axis=-1))
+        imax = jnp.max(scene.lights.intensities, axis=-1)
+        need = need & jax.lax.stop_gradient(
+            kdks[:, None] * imax[None, :] >= light_cull * ldist_sq)
     vis = (need & ~occ).astype(jnp.float32)
 
     irr = scene.lights.intensities[None, :, :] \
@@ -168,10 +178,14 @@ def replay_lighting(scene: Scene, p, n, v, mats: Materials,
     hv = hv * jax.lax.rsqrt(
         jnp.maximum(jnp.sum(hv * hv, axis=-1, keepdims=True), 1e-60))
     nh = jnp.maximum(0.0, jnp.sum(n[:, None, :] * hv, axis=-1))
-    spec = (mats.specular[:, None, :]
-            * jnp.exp(mats.phong[:, None]
-                      * jnp.log(jnp.maximum(nh, 1e-30)))[..., None]
-            * irr)
+    # nh > 0 gate mirrors the megakernel exactly: without it,
+    # exp(phong*log(max(nh,1e-30))) evaluates to 1.0 at nh==0 when
+    # phong==0, adding false specular light (advisor r3 finding)
+    spec_term = jnp.where(
+        nh > 0.0,
+        jnp.exp(mats.phong[:, None] * jnp.log(jnp.maximum(nh, 1e-30))),
+        0.0)
+    spec = mats.specular[:, None, :] * spec_term[..., None] * irr
 
     return color + jnp.sum((diffuse + spec) * vis[..., None], axis=1)
 
@@ -200,12 +214,7 @@ def replay_radiance(scene: Scene, o: jnp.ndarray, d: jnp.ndarray,
     live = jnp.ones((n_rays,), bool)
     sel3 = lambda m, a, b: jnp.where(m[:, None], a, b)
 
-    for s in range(B):
-        t_rec = jax.lax.stop_gradient(rt_all[s])
-        n_rec = jax.lax.stop_gradient(rn_all[s])
-        comb_f = jax.lax.stop_gradient(rmat_all[s])
-        occ = jax.lax.stop_gradient(rocc_all[s])
-
+    def segment(s, t_rec, n_rec, comb_f, occ, acc, thr, o, d, live):
         hit = live & (t_rec >= 0.0)
         comb = jnp.clip(comb_f.astype(jnp.int32), 0, S + T + K - 1)
         is_sp = hit & (comb_f >= 0.0) & (comb_f < S)
@@ -255,17 +264,37 @@ def replay_radiance(scene: Scene, o: jnp.ndarray, d: jnp.ndarray,
             n = sel3(is_lo, n_tri, n)
 
         mats = jax.tree.map(lambda a: take_rows(a, comb), mats_table)
-        local = replay_lighting(scene, p, n, -d, mats, occ, hit)
+        local = replay_lighting(scene, p, n, -d, mats, occ, hit,
+                                light_cull=cfg.light_cull)
         contrib = sel3(hit, local, jnp.broadcast_to(bg, (n_rays, 3)))
         acc = acc + thr * contrib * live[:, None]
         if s == B - 1:
-            break
+            return acc, thr, o, d, live
 
         cont = hit & mats.is_mirror.astype(bool) & (s < cfg.max_bounces)
         thr = sel3(cont, thr * mats.mirror, thr)
         o = p + n * SHADOW_EPS
         d = sel3(cont, sh.reflect_dir(d, n), d)
-        live = cont
+        return acc, thr, o, d, cont
+
+    for s in range(B):
+        t_rec = jax.lax.stop_gradient(rt_all[s])
+        n_rec = jax.lax.stop_gradient(rn_all[s])
+        comb_f = jax.lax.stop_gradient(rmat_all[s])
+        occ = jax.lax.stop_gradient(rocc_all[s])
+        # all-dead segments (the flagship's segments 2-4) are skipped at
+        # ONE runtime predicate: a dead segment accumulates exactly zero
+        # (live gates the add) and its carried state feeds only further
+        # dead segments, so the skip is exact. This cuts the replay's
+        # fwd+bwd [N,L] tensor work from B segments to the live prefix —
+        # the r3 "replay tax" was ~61ms with all 5 segments replayed
+        # (VERDICT r3 next-step #2).
+        acc, thr, o, d, live = jax.lax.cond(
+            jnp.any(live),
+            lambda a, s=s, t=t_rec, nr=n_rec, c=comb_f, oc=occ:
+                segment(s, t, nr, c, oc, *a),
+            lambda a: a,
+            (acc, thr, o, d, live))
     return acc
 
 

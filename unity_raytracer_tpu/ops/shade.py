@@ -162,6 +162,7 @@ def direct_lighting(scene: Scene, p: jnp.ndarray, n: jnp.ndarray,
                     straight_through: bool = True, bvh=None,
                     kernel: str = "auto",
                     mask: jnp.ndarray | None = None,
+                    light_cull: float = 0.0,
                     with_stats: bool = False) -> jnp.ndarray:
     """Ambient + per-light shadowed diffuse + Blinn-Phong specular, [N,3].
 
@@ -195,6 +196,20 @@ def direct_lighting(scene: Scene, p: jnp.ndarray, n: jnp.ndarray,
     need = (ln >= 0.0) & scene.lights.valid[None, :]               # [N,L]
     if mask is not None:
         need = need & mask[:, None]
+    if light_cull > 0.0:
+        # per-light attenuation culling (cfg.light_cull): lanes whose
+        # conservative bound (max(kd)+max(ks))*max(I)/d^2 is below the
+        # threshold skip the shadow query AND the light's contribution —
+        # same gate (and same skip-entirely convention) as the megakernel
+        # (bounded error <= threshold per light per segment)
+        kdks = (jnp.max(mats.diffuse, axis=-1)
+                + jnp.max(mats.specular, axis=-1))                 # [N]
+        imax = jnp.max(scene.lights.intensities, axis=-1)          # [L]
+        cull_keep = (kdks[:, None] * imax[None, :]
+                     >= light_cull * ldist_sq)                     # [N,L]
+        need = need & cull_keep
+    else:
+        cull_keep = None
 
     so = p + n * SHADOW_EPS                                        # [N,3]
     # LIGHT-MAJOR layout: each packet-kernel tile then carries a single
@@ -224,6 +239,10 @@ def direct_lighting(scene: Scene, p: jnp.ndarray, n: jnp.ndarray,
             * spec_mask[..., None])
 
     lvalid = scene.lights.valid[None, :, None].astype(jnp.float32)
+    if cull_keep is not None:
+        # zero the culled light's terms too — without this the culled
+        # (unqueried) lanes would leak UNSHADOWED light instead of none
+        lvalid = lvalid * cull_keep[..., None].astype(jnp.float32)
     color = color + jnp.sum((diffuse + spec) * vis[..., None] * lvalid, axis=1)
     if with_stats:  # live shadow-query lanes (bench honest accounting)
         return color, jnp.sum(need.astype(jnp.int32))

@@ -65,6 +65,16 @@ class RenderConfig:
     #                             processed per while_loop iteration —
     #                             amortizes per-iteration loop/branch
     #                             overhead (the measured cost driver)
+    light_cull: float = 0.0     # per-light attenuation culling: skip a
+    #                             light's shadow query AND contribution
+    #                             for lanes whose conservative bound
+    #                             (max(kd)+max(ks)) * max(I) / d^2 falls
+    #                             below this threshold (0-255 radiance
+    #                             units; 1.0 = one 8-bit display step).
+    #                             Bounded error <= threshold per light
+    #                             per segment; 0 = exact. Applied
+    #                             identically in the megakernel, the
+    #                             composed path, and the replay.
     occ_mode: str = "sort"      # occlusion-walk push discipline:
     #                             'sort' (near-first + prune), 'keys'
     #                             (prune, no sort network), 'none' —
