@@ -180,6 +180,8 @@ def run_once(name="mesh100k", width=None, height=None, repeats=3,
     fwd_bwd = None
     grad_composed_s = None
     fwd_bwd_composed = None
+    grad_soft_s = None
+    fwd_bwd_soft = None
     if grad:
         from unity_raytracer_tpu.fit import (get_params,
                                              make_chunked_value_and_grad)
@@ -205,6 +207,31 @@ def run_once(name="mesh100k", width=None, height=None, repeats=3,
             grad_s = _with_timeout(_grad_replay, 600, "fwd+bwd (replay)")
             if grad_s:
                 fwd_bwd = issued / grad_s
+
+        # soft fwd+bwd: the silhouette-fitting path at megakernel speed
+        # (min-mode shadow records + differentiable soft replay)
+        if (kernel == "mega" and bvh is not None
+                and getattr(bvh, "leafmeta", None) is not None):
+            def _grad_soft():
+                from unity_raytracer_tpu.ops.replay import (
+                    soft_replay_value_and_grad, trace_radiance_replay_soft)
+                from unity_raytracer_tpu.utils.config import DiffConfig
+                cfg_s = cfg.with_(diff=DiffConfig(
+                    soft_shadow_temp=1.0, soft_hit_temp=0.1,
+                    straight_through=True))
+                target = jax.lax.stop_gradient(trace_radiance_replay_soft(
+                    scene, o, d, cfg_s, bvh)) * 0.9
+                gc, gs = _timed(
+                    lambda: soft_replay_value_and_grad(
+                        scene, params0, o, d, target, cfg_s, bvh),
+                    max(1, repeats - 1))
+                print(json.dumps({"grad_soft_compile_s": round(gc, 1)}),
+                      file=sys.stderr)
+                return gs
+            grad_soft_s = _with_timeout(_grad_soft, 600,
+                                        "fwd+bwd (soft replay)")
+            if grad_soft_s:
+                fwd_bwd_soft = issued / grad_soft_s
 
         def _grad_composed():
             cfg_g = cfg.with_(
@@ -233,13 +260,26 @@ def run_once(name="mesh100k", width=None, height=None, repeats=3,
     # are VMEM-resident. Per issued query: 23*4/(1+L) bytes.
     bytes_per_ray = 23.0 * 4.0 / (1 + n_lights)
     roof = profiling.roofline(fwd, bytes_per_ray)
-    # Compute model (docs/KERNELS.md "Compute-roofline model"): measured
-    # per-tile union node visits x per-visit flops -> ~75 GFLOP/frame on
-    # the flagship against the ~1.5 TF/s f32 VPU rate measured on this
-    # chip => ~830M issued rays/s bound. Flagship-scene-specific, and
-    # modeled on the leaf-14 tree — indicative (not exact) for the
-    # shipped leaf-42 tree, which trades interior steps for leaf tests.
-    compute_bound = 830e6 if name == "mesh100k" else None
+    # Compute model re-derived for the SHIPPED leaf-56/arity-4 tree
+    # (scripts/roofline_r4.py, FULL-frame union-walk simulation — the
+    # r1-r3 830e6 figure was modeled on the retired leaf-14 tree):
+    # 164.6 GFLOP/frame counted at the kernel's per-visit op counts
+    # (nearest 34.0 + per-light shadow walks 96.7 + bounce tail 31.9 +
+    # shade 2.0); the Baldwin-Weber leaf records (tri_isect='bw') cut
+    # it to 111.3. The bound divides by the effective VPU rate measured
+    # by the r4 on-chip fused-elementwise microbenchmark (see
+    # docs/KERNELS.md r4 section); both model inputs are printed so the
+    # fraction is auditable. Flagship-scene-specific; scaled by pixel
+    # count for other resolutions of the same scene.
+    MODEL_GFLOP_1080P = {"mt": 164.6, "bw": 111.3}
+    VPU_EFF = 2.3e12  # counted-ops/s through the r4 ubench (KERNELS.md)
+    compute_bound = None
+    model_gflop = None
+    if name == "mesh100k" and kernel == "mega":
+        isect = getattr(cfg, "tri_isect", "mt")
+        model_gflop = (MODEL_GFLOP_1080P.get(isect, 164.6)
+                       * (cam.width * cam.height) / (1920 * 1080))
+        compute_bound = issued / (model_gflop * 1e9 / VPU_EFF)
     frac_compute = (fwd / compute_bound) if compute_bound else None
     frac_compute_fb = ((fwd_bwd / compute_bound)
                        if compute_bound and fwd_bwd else None)
@@ -258,17 +298,20 @@ def run_once(name="mesh100k", width=None, height=None, repeats=3,
         "frame_s": frame_s,
         "grad_s": grad_s,
         "grad_composed_s": grad_composed_s,
+        "grad_soft_s": grad_soft_s,
         "rays_issued": issued,
         "rays_live": live_rays,
         "rays_per_s_fwd": fwd,
         "rays_per_s_fwd_bwd": fwd_bwd,
         "rays_per_s_fwd_bwd_composed": fwd_bwd_composed,
+        "rays_per_s_fwd_bwd_soft": fwd_bwd_soft,
         "rays_per_s_live": (live_rays / frame_s) if live_rays else None,
         "fraction_of_hbm_roofline": roof["fraction_of_roofline"],
         "hbm_bound_rays_per_s": roof["hbm_bound_rays_per_s"],
         "fraction_of_compute_roofline": frac_compute,
         "fraction_of_compute_roofline_fwd_bwd": frac_compute_fb,
         "compute_bound_rays_per_s": compute_bound,
+        "compute_model_gflop_frame": model_gflop,
         "device": str(jax.devices()[0]),
     }
 
@@ -390,10 +433,12 @@ def main():
         "rays_per_s_fwd": r["rays_per_s_fwd"],
         "rays_per_s_fwd_bwd": r["rays_per_s_fwd_bwd"],
         "rays_per_s_fwd_bwd_composed": r["rays_per_s_fwd_bwd_composed"],
+        "rays_per_s_fwd_bwd_soft": r["rays_per_s_fwd_bwd_soft"],
         "rays_per_s_live": r["rays_per_s_live"],
         "frame_s": r["frame_s"],
         "grad_s": r["grad_s"],
         "grad_composed_s": r["grad_composed_s"],
+        "grad_soft_s": r["grad_soft_s"],
         "fraction_of_hbm_roofline": r["fraction_of_hbm_roofline"],
         "fraction_of_compute_roofline": r["fraction_of_compute_roofline"],
         "fraction_of_compute_roofline_fwd_bwd":

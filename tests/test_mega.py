@@ -184,3 +184,31 @@ def test_mega_light_cull_bounded_and_parity(small_scene):
     # mega applies the same gate (boundary lanes may flip on fp noise;
     # each flip is bounded by tau/255 on the display scale)
     np.testing.assert_allclose(img_cm, img_cx, rtol=2e-4, atol=0.01)
+
+
+def test_mega_bw_isect_parity(small_scene):
+    """tri_isect='bw' (Baldwin–Weber precomputed leaf records) must
+    produce the same image as the Möller–Trumbore kernel and the xla
+    reference up to fp rounding — the hit set is mathematically equal;
+    only the arithmetic route to (t, u, v) differs."""
+    scene, cam = small_scene
+    cfg = RenderConfig(max_bounces=2, background=(0.04, 0.05, 0.07),
+                       use_bvh=True, mode="scan", block_size=16,
+                       tile_r=256, bvh_leaf=56, walk_unroll=2,
+                       fuse_shadows=False, occ_mode="sort")
+    packed = bvhmod.prepare_bvh(scene, cfg.with_(kernel="mega"))
+    assert packed.tris_bw is not None
+    assert packed.bw_rows_per_leaf == 6  # ceil(4*14 / 10)
+    img_ref = np.asarray(render(scene, cam, cfg.with_(kernel="xla"),
+                                bvh=packed))
+    img_bw = np.asarray(render(
+        scene, cam, cfg.with_(kernel="mega", tri_isect="bw"),
+        bvh=packed))
+    assert np.isfinite(img_bw).all()
+    np.testing.assert_allclose(img_bw, img_ref, rtol=5e-4, atol=5e-4)
+    # and with the fused occlusion walk (covers _occluded_fused's bw path)
+    img_bw_f = np.asarray(render(
+        scene, cam, cfg.with_(kernel="mega", tri_isect="bw",
+                              fuse_shadows=True),
+        bvh=packed))
+    np.testing.assert_allclose(img_bw_f, img_ref, rtol=5e-4, atol=5e-4)

@@ -78,6 +78,14 @@ def cmd_fit(args):
                               fov_y_deg=40.0, width=args.size,
                               height=args.size)
         bvh = None
+    elif args.replay:
+        # fast path: soft record-replay step (megakernel fwd + replay
+        # bwd) — full depth, no chunking needed
+        scene, cam, cfg = get_preset(args.preset, width=args.size,
+                                     height=args.size)
+        cfg = resolve_mode(scene, cfg.with_(use_bvh=True))
+        from unity_raytracer_tpu.ops import bvh as bvhmod
+        bvh = bvhmod.prepare_bvh(scene, cfg.with_(kernel="mega"))
     else:
         # any preset (e.g. mesh10k): BVH + chunked/remat gradient step
         scene, cam, cfg = get_preset(args.preset, width=args.size,
@@ -107,7 +115,9 @@ def cmd_fit(args):
                      log_every=max(args.steps // 10, 1),
                      checkpoint_every=args.ckpt_every,
                      checkpoint_path=(f"{args.out_dir}/fit.npz"
-                                      if args.out_dir else None))
+                                      if args.out_dir else None),
+                     use_replay=bool(getattr(args, "replay", False)
+                                     and args.preset != "three_spheres"))
     res = fit(scene, cam, cfg, target, fcfg, init_params=init, bvh=bvh)
     err = np.abs(np.asarray(res.params["sphere_centers"])
                  - np.asarray(true_p["sphere_centers"])).max()
@@ -164,6 +174,10 @@ def main():
     f.add_argument("--seed", type=int, default=0)
     f.add_argument("--ckpt-every", type=int, default=0)
     f.add_argument("--out-dir", default=None)
+    f.add_argument("--replay", action="store_true",
+                   help="soft record-replay gradient step (megakernel "
+                        "fwd + differentiable replay bwd) — the fast "
+                        "fitting path; full preset depth, no chunking")
     f.set_defaults(fn=cmd_fit)
 
     d = sub.add_parser("dryrun", help="multi-chip dry run on fake devices")

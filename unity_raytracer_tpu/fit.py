@@ -80,6 +80,13 @@ class FitConfig:
     log_every: int = 20
     checkpoint_every: int = 0          # 0 = disabled
     checkpoint_path: Optional[str] = None
+    use_replay: bool = False           # soft record-replay step
+    #   (ops/replay.soft_replay_value_and_grad): megakernel forward with
+    #   min-mode shadow records + differentiable soft replay — ~10x the
+    #   composed path's speed. Needs a megakernel-capable setup (scan
+    #   mode, PackedBVH with leafmeta); silhouette gradients for
+    #   sphere/loose geometry are exact, mesh-occluder gradient terms
+    #   are frozen (see replay_radiance_soft docstring).
 
 
 class FitResult(NamedTuple):
@@ -196,7 +203,28 @@ def fit(template: Scene, cam: Camera, rcfg: RenderConfig,
         diff=DiffConfig(soft_shadow_temp=cfg.soft_shadow_temp,
                         soft_hit_temp=cfg.soft_hit_temp,
                         straight_through=True))
-    if rcfg.ray_chunk:
+    if cfg.use_replay:
+        from unity_raytracer_tpu.models.camera import generate_rays_blocks
+        from unity_raytracer_tpu.ops.replay import (
+            soft_replay_value_and_grad)
+        from unity_raytracer_tpu.utils.swizzle import swizzle_image
+        if rcfg.mode != "scan" or bvh is None \
+                or getattr(bvh, "leafmeta", None) is None:
+            raise ValueError(
+                "FitConfig.use_replay needs mode='scan' and a megakernel"
+                "-capable PackedBVH (prepare_bvh with a pallas kernel)")
+        rcfg_m = rcfg.with_(kernel="mega")
+        o, d = generate_rays_blocks(cam, rcfg.block_size)
+        tgt_rad = swizzle_image(target, rcfg.block_size) * 255.0
+        lane_w = swizzle_image(
+            jnp.ones((cam.height, cam.width, 1), jnp.float32),
+            rcfg.block_size)[:, 0]
+        scale = 1.0 / (255.0 * 255.0)  # radiance-scale MSE -> image MSE
+        value_and_grad = lambda p: jax.tree.map(
+            lambda x: x * scale,
+            soft_replay_value_and_grad(template, p, o, d, tgt_rad,
+                                       rcfg_m, bvh, weights=lane_w))
+    elif rcfg.ray_chunk:
         from unity_raytracer_tpu.models.camera import generate_rays_blocks
         from unity_raytracer_tpu.utils.swizzle import swizzle_image
         o, d = generate_rays_blocks(cam, rcfg.block_size)

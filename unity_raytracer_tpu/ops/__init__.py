@@ -10,7 +10,9 @@ from unity_raytracer_tpu.ops.intersect import (
 from unity_raytracer_tpu.ops.render import render, trace_radiance
 from unity_raytracer_tpu.ops.replay import (
     replay_value_and_grad,
+    soft_replay_value_and_grad,
     trace_radiance_replay,
+    trace_radiance_replay_soft,
 )
 
 __all__ = [
@@ -22,5 +24,7 @@ __all__ = [
     "render",
     "trace_radiance",
     "trace_radiance_replay",
+    "trace_radiance_replay_soft",
     "replay_value_and_grad",
+    "soft_replay_value_and_grad",
 ]

@@ -510,7 +510,7 @@ def prepare_bvh(scene, cfg):
                               np.asarray(scene.meshes.normals))
     if kernel.startswith("pallas") or kernel in ("mega", "wide"):
         from unity_raytracer_tpu.ops.pallas.traverse_mk3 import (
-            PALLAS_LEAF, pack_rows)
+            PALLAS_LEAF, pack_bw, pack_rows)
         from unity_raytracer_tpu.ops.pallas.traverse_wide import widen
         leaf = getattr(cfg, "bvh_leaf", PALLAS_LEAF) or PALLAS_LEAF
         b = build(verts, np.asarray(scene.meshes.valid), leaf_size=leaf)
@@ -518,6 +518,10 @@ def prepare_bvh(scene, cfg):
             pack_rows(dataclasses.replace(b, canonical=True),
                       leaf_slots=leaf),
             arity=getattr(cfg, "bvh_arity", 4))
+        # Baldwin–Weber leaf records for the megakernel's cheap triangle
+        # test (cfg.tri_isect='bw') — a few MB, built unconditionally so
+        # the kernel choice is a pure config flip
+        packed = pack_bw(packed)
         # per-leaf-slot combined-material id (sphere ++ loose ++ mesh
         # table order, matching ops/pallas/mega.build_aux) for the fused
         # segment megakernel

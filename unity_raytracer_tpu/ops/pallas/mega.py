@@ -55,13 +55,33 @@ from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
 from unity_raytracer_tpu.ops.pallas.traverse_mk3 import (
-    _BIG, EPS, PALLAS_LEAF, TILE_R, PackedBVH)
+    _BIG, BW_PER_ROW, EPS, PALLAS_LEAF, TILE_R, PackedBVH)
 from unity_raytracer_tpu.ops.pallas.traverse_mk4 import STACK as STACK_BIN
 from unity_raytracer_tpu.ops.pallas.traverse_wide import (
     _INF, STACK as STACK_WIDE, wide_expand as _wide_expand,
     wide_pop as _wide_pop)
 
 SHADOW_EPS = 1e-4  # ShadowRayEpsilon, RayTracingSetup.cs:42
+
+
+def _bw1(o3, d3, rec):
+    """Baldwin–Weber test of one precomputed 12-float record (pack_bw
+    layout: unit normal, plane offset, two affine barycentric rows)
+    against a ray set -> (ok, t). Pad/degenerate records are all-zero
+    and reject at the |n.d| gate."""
+    sx, sy, sz = o3
+    dx_, dy_, dz_ = d3
+    nx, ny, nz, dh, ax, ay, az, a0, bx, by, bz, b0 = rec
+    nd = nx * dx_ + ny * dy_ + nz * dz_
+    par = jnp.abs(nd) < 1e-30
+    t = (dh - (nx * sx + ny * sy + nz * sz)) / jnp.where(par, 1.0, nd)
+    hx = sx + dx_ * t
+    hy = sy + dy_ * t
+    hz = sz + dz_ * t
+    u = ax * hx + ay * hy + az * hz + a0
+    v = bx * hx + by * hy + bz * hz + b0
+    ok = ~par & (u >= 0.0) & (v >= 0.0) & (u + v <= 1.0) & (t > EPS)
+    return ok, t
 
 
 def _unrolled(body, k: int):
@@ -84,7 +104,8 @@ def _unrolled(body, k: int):
 def _occluded_fused(nodes_ref, tris_ref, aux_ref, rays,
                     n_lights, n_spheres, n_tris,
                     stack_ref, stack_tn_ref, arity, unroll=1,
-                    occ_mode="sort", leaf_rows=1):
+                    occ_mode="sort", leaf_rows=1,
+                    tri_isect="mt", bw_rows=0, min_mode=False):
     """Fused any-hit occlusion for ALL lights in ONE wide stack walk.
 
     ``rays``: per light ``(sx, sy, sz, ldx, ldy, ldz, tmax)`` with
@@ -94,6 +115,12 @@ def _occluded_fused(nodes_ref, tris_ref, aux_ref, rays,
     union instead of once per light — the walk count per segment drops
     from 1+L to 2. Returns a list of per-light occlusion masks (same
     semantics as _occluded, including the scene-AABB gate).
+
+    ``min_mode`` (soft-replay recording): occluders update the per-lane
+    best to their true t instead of the -1 retire mark, so the walk
+    returns the MIN occluder distance per light (no early lane retire —
+    a nearest-style walk). Returns ``(masks, sts)`` with ``st`` the min
+    occluder t, or _BIG when unoccluded / culled / out of the scene box.
     """
     L = len(rays)
     tiny = 1e-30
@@ -164,13 +191,15 @@ def _occluded_fused(nodes_ref, tris_ref, aux_ref, rays,
             small = -uoc - sq
             t_s = jnp.where(small < 0.0, big, small)
             ok = (disc >= 0.0) & (big >= 0.0) & svalid
-            best = jnp.where(ok & (t_s < best), -1.0, best)
+            best = jnp.where(ok & (t_s < best),
+                             t_s if min_mode else -1.0, best)
         for tt in range(n_tris):
             r = 1 + n_lights + n_spheres + tt
             ok, t_t = mt1((sx, sy, sz), (ldx, ldy, ldz),
                           *tuple(aux_ref[r, j] for j in range(9)))
             ok = ok & (aux_ref[r, 12] > 0.0)
-            best = jnp.where(ok & (t_t < best), -1.0, best)
+            best = jnp.where(ok & (t_t < best),
+                             t_t if min_mode else -1.0, best)
         invs.append(inv)
         bests.append(best)
         best0s.append(jnp.where(in_box, tmax, -1.0))
@@ -183,16 +212,30 @@ def _occluded_fused(nodes_ref, tris_ref, aux_ref, rays,
 
         def leaf_tests(args):
             bests = list(args[:-1])
-            for rr, k in [(r_, k_) for r_ in range(leaf_rows)
-                          for k_ in range(PALLAS_LEAF)]:
-                b = 9 * k
-                vs = tuple(tris_ref[leaf_row + rr, b + j]
-                           for j in range(9))
-                for l in range(L):
-                    sx, sy, sz, ldx, ldy, ldz, _ = rays[l]
-                    ok, t = mt1((sx, sy, sz), (ldx, ldy, ldz), *vs)
-                    bests[l] = jnp.where(ok & (t < bests[l]), -1.0,
-                                         bests[l])
+            if tri_isect == "bw":
+                bwbase = (leaf_row // leaf_rows) * bw_rows
+                for j in range(leaf_rows * PALLAS_LEAF):
+                    row = bwbase + j // BW_PER_ROW
+                    b = 12 * (j % BW_PER_ROW)
+                    rec = tuple(tris_ref[row, b + q] for q in range(12))
+                    for l in range(L):
+                        sx, sy, sz, ldx, ldy, ldz, _ = rays[l]
+                        ok, t = _bw1((sx, sy, sz), (ldx, ldy, ldz), rec)
+                        bests[l] = jnp.where(ok & (t < bests[l]),
+                                             t if min_mode else -1.0,
+                                             bests[l])
+            else:
+                for rr, k in [(r_, k_) for r_ in range(leaf_rows)
+                              for k_ in range(PALLAS_LEAF)]:
+                    b = 9 * k
+                    vs = tuple(tris_ref[leaf_row + rr, b + j]
+                               for j in range(9))
+                    for l in range(L):
+                        sx, sy, sz, ldx, ldy, ldz, _ = rays[l]
+                        ok, t = mt1((sx, sy, sz), (ldx, ldy, ldz), *vs)
+                        bests[l] = jnp.where(ok & (t < bests[l]),
+                                             t if min_mode else -1.0,
+                                             bests[l])
             # ONE cross-lane reduction, on leaf steps only: elementwise
             # max across light sets, then max over lanes
             cur = jnp.max(functools.reduce(jnp.maximum, bests))
@@ -220,6 +263,12 @@ def _occluded_fused(nodes_ref, tris_ref, aux_ref, rays,
     out = jax.lax.while_loop(cond, _unrolled(body, unroll),
                              (jnp.int32(0), jnp.int32(0), cur0, *bests))
     bests = out[3:]
+    if min_mode:
+        # an unoccluded lane's best is untouched (== best0 exactly)
+        masks = [(bests[l] < best0s[l]) & (best0s[l] > 0.0)
+                 for l in range(L)]
+        sts = [jnp.where(masks[l], bests[l], _BIG) for l in range(L)]
+        return masks, sts
     return [(bests[l] < 0.0) & (best0s[l] > 0.0) for l in range(L)]
 
 
@@ -235,11 +284,14 @@ def _kernel(depth_ref,
             max_bounces: int, arity: int = 0, fuse: bool = True,
             record: bool = False, unroll: int = 1,
             occ_mode: str = "sort", leaf_rows: int = 1,
-            light_cull: float = 0.0):
-    # trailing refs: optional hit-record outputs, then the SMEM scratch
+            light_cull: float = 0.0, tri_isect: str = "mt",
+            bw_rows: int = 0, record_soft: bool = False):
+    # trailing refs: optional hit-record outputs (+ per-light min
+    # occluder t when record_soft), then the SMEM scratch
     stack_ref, stack_tn_ref = rest[-2:]
     if record:
-        rt_ref, rnx_ref, rny_ref, rnz_ref, rmat_ref, rocc_ref = rest[:-2]
+        rt_ref, rnx_ref, rny_ref, rnz_ref, rmat_ref, rocc_ref = rest[:6]
+        rst_refs = rest[6:6 + n_lights] if record_soft else ()
     tile = ox_ref.shape[0]
     live_in = tmax_ref[:] >= 0.0
 
@@ -264,6 +316,8 @@ def _kernel(depth_ref,
         rnz_ref[:] = jnp.zeros((tile,), jnp.float32)
         rmat_ref[:] = jnp.full((tile,), -1.0, jnp.float32)
         rocc_ref[:] = jnp.zeros((tile,), jnp.float32)
+        for r_ in rst_refs:
+            r_[:] = jnp.full((tile,), _BIG, jnp.float32)
 
     @pl.when(jnp.any(live_in))
     def _tile():
@@ -341,6 +395,26 @@ def _kernel(depth_ref,
         # cross-lane reduction for it.
         def near_leaf_tests(leaf_row, args):
             best_t, bnx, bny, bnz, bmat = args
+            if tri_isect == "bw":
+                # tris_ref holds the BW rows; node meta still points at
+                # MT row bases, so rebase: leaf index * bw rows per leaf
+                bwbase = (leaf_row // leaf_rows) * bw_rows
+                for j in range(leaf_rows * PALLAS_LEAF):
+                    row = bwbase + j // BW_PER_ROW
+                    b = 12 * (j % BW_PER_ROW)
+                    rec = tuple(tris_ref[row, b + q] for q in range(12))
+                    ok, t = _bw1((ox, oy, oz), (dx, dy, dz), rec)
+                    upd = ok & (t < best_t)
+                    mid = leafmeta_ref[leaf_row + j // PALLAS_LEAF,
+                                       j % PALLAS_LEAF]
+                    best_t = jnp.where(upd, t, best_t)
+                    # the stored unit plane normal IS the bake-convention
+                    # shading normal (pack_bw docstring) — no cross/rsqrt
+                    bnx = jnp.where(upd, rec[0], bnx)
+                    bny = jnp.where(upd, rec[1], bny)
+                    bnz = jnp.where(upd, rec[2], bnz)
+                    bmat = jnp.where(upd, mid, bmat)
+                return best_t, bnx, bny, bnz, bmat
             for rr, k in [(r_, k_) for r_ in range(leaf_rows)
                           for k_ in range(PALLAS_LEAF)]:
                 row = leaf_row + rr
@@ -566,6 +640,7 @@ def _kernel(depth_ref,
                 need = need & (kdks * imax >= light_cull * ld2)
             geo.append((ldx, ldy, ldz, ln, need, ldist, ld2))
 
+        sts = None
         if arity and n_lights and fuse:
             occs = _occluded_fused(
                 nodes_ref, tris_ref, aux_ref,
@@ -573,15 +648,24 @@ def _kernel(depth_ref,
                   jnp.where(g[4], g[5], -1.0)) for g in geo],
                 n_lights, n_spheres, n_tris,
                 stack_ref, stack_tn_ref, arity, unroll=unroll,
-                occ_mode=occ_mode, leaf_rows=leaf_rows)
+                occ_mode=occ_mode, leaf_rows=leaf_rows,
+                tri_isect=tri_isect, bw_rows=bw_rows,
+                min_mode=record_soft)
+            if record_soft:
+                occs, sts = occs
         else:
             occs = [
                 _occluded(nodes_ref, tris_ref, aux_ref, sx, sy, sz,
                           g[0], g[1], g[2], jnp.where(g[4], g[5], -1.0),
                           n_lights, n_spheres, n_tris,
                           stack_ref, stack_tn_ref, arity,
-                          occ_mode=occ_mode, leaf_rows=leaf_rows)
+                          occ_mode=occ_mode, leaf_rows=leaf_rows,
+                          tri_isect=tri_isect, bw_rows=bw_rows,
+                          min_mode=record_soft)
                 for g in geo]
+            if record_soft:
+                sts = [p[1] for p in occs]
+                occs = [p[0] for p in occs]
 
         for l in range(n_lights):
             r = 1 + l
@@ -636,6 +720,9 @@ def _kernel(depth_ref,
             for l in range(n_lights):
                 occm += occs[l].astype(jnp.float32) * float(1 << l)
             rocc_ref[:] = occm
+            if record_soft:
+                for l in range(n_lights):
+                    rst_refs[l][:] = sts[l]
 
         # ---- mirror continuation (:358-373) ----------------------------
         depth = depth_ref[0]
@@ -659,7 +746,8 @@ def _kernel(depth_ref,
 def _occluded(nodes_ref, tris_ref, aux_ref, sx, sy, sz, ldx, ldy, ldz,
               tmax, n_lights, n_spheres, n_tris,
               stack_ref=None, stack_tn_ref=None, arity=0,
-              occ_mode="sort", leaf_rows=1):
+              occ_mode="sort", leaf_rows=1, tri_isect="mt", bw_rows=0,
+              min_mode=False):
     """Embedded any-hit occlusion query (wide stack walk when ``arity``,
     else binary threaded traversal order — ordering buys little for
     any-hit, but the wide layout still quarters the step count).
@@ -735,12 +823,14 @@ def _occluded(nodes_ref, tris_ref, aux_ref, sx, sy, sz, ldx, ldy, ldz,
         small = -uoc - sq
         t_s = jnp.where(small < 0.0, big, small)
         ok = (disc >= 0.0) & (big >= 0.0) & svalid
-        best = jnp.where(ok & (t_s < best), -1.0, best)
+        best = jnp.where(ok & (t_s < best), t_s if min_mode else -1.0,
+                         best)
     for tt in range(n_tris):
         r = 1 + n_lights + n_spheres + tt
         ok, t_t = mt(*tuple(aux_ref[r, j] for j in range(9)))
         ok = ok & (aux_ref[r, 12] > 0.0)
-        best = jnp.where(ok & (t_t < best), -1.0, best)
+        best = jnp.where(ok & (t_t < best), t_t if min_mode else -1.0,
+                         best)
 
     if arity:
         def body_w(c):
@@ -749,12 +839,24 @@ def _occluded(nodes_ref, tris_ref, aux_ref, sx, sy, sz, ldx, ldy, ldz,
             leaf_row = jnp.maximum(-cursor - 2, 0)
 
             def leaf_tests(best):
+                if tri_isect == "bw":
+                    bwbase = (leaf_row // leaf_rows) * bw_rows
+                    for j in range(leaf_rows * PALLAS_LEAF):
+                        row = bwbase + j // BW_PER_ROW
+                        b = 12 * (j % BW_PER_ROW)
+                        rec = tuple(tris_ref[row, b + q]
+                                    for q in range(12))
+                        ok, t = _bw1((sx, sy, sz), (ldx, ldy, ldz), rec)
+                        best = jnp.where(ok & (t < best),
+                                         t if min_mode else -1.0, best)
+                    return best
                 for rr, k in [(r_, k_) for r_ in range(leaf_rows)
                               for k_ in range(PALLAS_LEAF)]:
                     b = 9 * k
                     ok, t = mt(*tuple(tris_ref[leaf_row + rr, b + j]
                                       for j in range(9)))
-                    best = jnp.where(ok & (t < best), -1.0, best)
+                    best = jnp.where(ok & (t < best),
+                                     t if min_mode else -1.0, best)
                 return best
 
             best = jax.lax.cond(is_leafe, leaf_tests, lambda b: b, best)
@@ -772,6 +874,9 @@ def _occluded(nodes_ref, tris_ref, aux_ref, sx, sy, sz, ldx, ldy, ldz,
 
         _, _, best = jax.lax.while_loop(
             cond_w, body_w, (jnp.int32(0), jnp.int32(0), best))
+        if min_mode:
+            mask = (best < best0) & (best0 > 0.0)
+            return mask, jnp.where(mask, best, _BIG)
         return (best < 0.0) & (best0 > 0.0)
 
     def body(c):
@@ -793,7 +898,7 @@ def _occluded(nodes_ref, tris_ref, aux_ref, sx, sy, sz, ldx, ldy, ldz,
                                   for j in range(9)))
                 best = jnp.where(
                     ok & ((rr * PALLAS_LEAF + k) < count) & (t < best),
-                    -1.0, best)
+                    t if min_mode else -1.0, best)
             return best
 
         best = jax.lax.cond(is_leaf & any_lane, leaf_tests,
@@ -805,6 +910,9 @@ def _occluded(nodes_ref, tris_ref, aux_ref, sx, sy, sz, ldx, ldy, ldz,
         return (c[0] >= 0) & jnp.any(c[1] > 0.0)
 
     _, best = jax.lax.while_loop(cond, body, (jnp.int32(0), best))
+    if min_mode:
+        mask = (best < best0) & (best0 > 0.0)
+        return mask, jnp.where(mask, best, _BIG)
     return (best < 0.0) & (best0 > 0.0)
 
 
@@ -854,7 +962,8 @@ def trace_segment(packed: PackedBVH, aux: jnp.ndarray, depth: jnp.ndarray,
                   tile_r: int = TILE_R, use_wide: bool | None = None,
                   fuse_shadows: bool = True, record: bool = False,
                   walk_unroll: int = 1, occ_mode: str = "sort",
-                  light_cull: float = 0.0):
+                  light_cull: float = 0.0, tri_isect: str = "mt",
+                  record_soft: bool = False):
     """One fused bounce segment over all rays.
 
     Returns ``(delta [N,3], o' [N,3], d' [N,3], thr' [N,3], tmax' [N])``:
@@ -871,7 +980,14 @@ def trace_segment(packed: PackedBVH, aux: jnp.ndarray, depth: jnp.ndarray,
     replay (ops/replay.py) needs to rebuild this segment's radiance
     without re-traversing. All f32; t/matid are -1 on miss, occbits is a
     per-light occlusion bitmask.
+
+    ``record_soft=True`` (implies record) additionally runs the shadow
+    walks in MIN mode (nearest-style — no early lane retire) and appends
+    ``st [N, n_lights]``: the min occluder distance per light (_BIG when
+    unoccluded), the quantity the soft-shadow sigmoid needs
+    (ops/replay.replay_radiance_soft).
     """
+    record = record or record_soft
     if packed.leafmeta is None:
         raise ValueError("PackedBVH.leafmeta missing — build the BVH via "
                          "prepare_bvh for the megakernel path")
@@ -905,6 +1021,14 @@ def trace_segment(packed: PackedBVH, aux: jnp.ndarray, depth: jnp.ndarray,
     arity = packed.wide.shape[1] // 8 if use_wide else 0
     nodes = packed.wide if use_wide else packed.nodes
     stack_n = STACK_WIDE if use_wide else STACK_BIN
+    if tri_isect == "bw":
+        if packed.tris_bw is None:
+            raise ValueError("tri_isect='bw' needs PackedBVH.tris_bw — "
+                             "build via prepare_bvh (pack_bw)")
+        if not use_wide:
+            raise ValueError("tri_isect='bw' is implemented for the wide "
+                             "walks only (bvh_arity >= 2)")
+    tris_block = packed.tris_bw if tri_isect == "bw" else packed.tris
 
     grid = (total // tile_r,)
     tile = pl.BlockSpec((tile_r,), lambda i: (i,), memory_space=pltpu.VMEM)
@@ -913,7 +1037,7 @@ def trace_segment(packed: PackedBVH, aux: jnp.ndarray, depth: jnp.ndarray,
         memory_space=pltpu.VMEM)
     smem1 = pl.BlockSpec(memory_space=pltpu.SMEM)
 
-    n_out = 13 + (6 if record else 0)
+    n_out = 13 + (6 if record else 0) + (n_lights if record_soft else 0)
     outs = pl.pallas_call(
         functools.partial(_kernel, n_lights=n_lights, n_spheres=n_spheres,
                           n_tris=n_tris, n_mats=n_mats,
@@ -921,12 +1045,14 @@ def trace_segment(packed: PackedBVH, aux: jnp.ndarray, depth: jnp.ndarray,
                           fuse=fuse_shadows, record=record,
                           unroll=walk_unroll, occ_mode=occ_mode,
                           leaf_rows=packed.rows_per_leaf,
-                          light_cull=light_cull),
+                          light_cull=light_cull, tri_isect=tri_isect,
+                          bw_rows=packed.bw_rows_per_leaf,
+                          record_soft=record_soft),
         grid=grid,
         in_specs=[smem1,
                   tile, tile, tile, tile, tile, tile, tile,
                   tile, tile, tile,
-                  rep(*nodes.shape), rep(*packed.tris.shape),
+                  rep(*nodes.shape), rep(*tris_block.shape),
                   rep(*packed.leafmeta.shape), rep(*aux.shape)],
         out_specs=tuple([tile] * n_out),
         out_shape=tuple([jax.ShapeDtypeStruct((total,), jnp.float32)]
@@ -940,7 +1066,7 @@ def trace_segment(packed: PackedBVH, aux: jnp.ndarray, depth: jnp.ndarray,
             vmem_limit_bytes=100 * 1024 * 1024),
         interpret=interpret,
     )(jnp.asarray(depth, jnp.int32).reshape(1), ox, oy, oz, dx, dy, dz,
-      tm, tr, tg, tb, nodes, packed.tris, packed.leafmeta, aux)
+      tm, tr, tg, tb, nodes, tris_block, packed.leafmeta, aux)
 
     (dr, dg, db, oxo, oyo, ozo, dxo, dyo, dzo, tmo, tro, tgo,
      tbo) = outs[:13]
@@ -952,7 +1078,11 @@ def trace_segment(packed: PackedBVH, aux: jnp.ndarray, depth: jnp.ndarray,
     base = (delta, o2, d2, thr2, cut(tmo))
     if not record:
         return base
-    rt, rnx, rny, rnz, rmat, rocc = outs[13:]
+    rt, rnx, rny, rnz, rmat, rocc = outs[13:19]
     rec = (cut(rt), jnp.stack([cut(rnx), cut(rny), cut(rnz)], axis=-1),
            cut(rmat), cut(rocc))
+    if record_soft:
+        st = (jnp.stack([cut(s) for s in outs[19:19 + n_lights]], axis=-1)
+              if n_lights else jnp.zeros((n, 0), jnp.float32))
+        rec = rec + (st,)
     return base + (rec,)

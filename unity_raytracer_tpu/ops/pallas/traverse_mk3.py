@@ -55,10 +55,22 @@ class PackedBVH(NamedTuple):
     # under jit, so kernels can unroll it; a plain int field would
     # flatten into a traced pytree leaf)
     leaf_tag: jnp.ndarray | None = None
+    # [n_leaves*bw_rpl, 128] f32 Baldwin–Weber precomputed triangle
+    # records, 10 per row x 12 floats: unit plane normal (= the bake
+    # shading normal), plane offset, and the two affine barycentric
+    # rows — ~1.8x fewer vector ops per leaf test than Möller–Trumbore
+    # from raw verts. Built by pack_bw; consumed by the megakernel when
+    # cfg.tri_isect == 'bw'.
+    tris_bw: jnp.ndarray | None = None
+    bw_tag: jnp.ndarray | None = None  # shape tag: bw rows per leaf
 
     @property
     def rows_per_leaf(self) -> int:
         return 1 if self.leaf_tag is None else self.leaf_tag.shape[0]
+
+    @property
+    def bw_rows_per_leaf(self) -> int:
+        return 0 if self.bw_tag is None else self.bw_tag.shape[0]
 
 
 def pack_rows(bvh: MeshBVH, leaf_slots: int = PALLAS_LEAF) -> PackedBVH:
@@ -119,6 +131,66 @@ def pack_rows(bvh: MeshBVH, leaf_slots: int = PALLAS_LEAF) -> PackedBVH:
     return PackedBVH(nodes=jnp.asarray(nodes), tris=jnp.asarray(tris),
                      leaf_prim=jnp.asarray(leaf_prim), bvh=bvh,
                      leaf_tag=jnp.zeros((rpl,), jnp.float32))
+
+
+BW_PER_ROW = 10  # 10 tris x 12 floats = 120 lanes <= 128
+
+
+def pack_bw(packed: PackedBVH) -> PackedBVH:
+    """Host-side Baldwin–Weber repack of the leaf rows (numpy).
+
+    Per triangle, precompute the 12-float record ``(n̂, d̂, a, a0, b, b0)``:
+    ``n̂`` the unit geometric plane normal — which under the canonical
+    winding (bvh.canonical_winding) equals the reference's baked shading
+    normal (SceneMesh.cs:43), so the nearest walk gets its normal for
+    free; ``d̂ = n̂·v0``; and the affine barycentric rows
+    ``u(p) = a·p + a0``, ``v(p) = b·p + b0`` solving
+    ``a ⟂ {e2, n}, a·e1 = 1`` (Baldwin & Weber, JCGT 2016 — public
+    method, derived independently here).
+
+    In-kernel test per triangle: one plane t, one point, two affine dots
+    — ~25 vector ops vs Möller–Trumbore-from-verts' ~60. The hit SET
+    matches MT up to fp rounding (parity is allclose like everything
+    else on the megakernel path). Degenerate / pad slots get all-zero
+    records and reject via the |n̂·d| gate.
+    """
+    tris = np.asarray(packed.tris)
+    rpl = packed.rows_per_leaf
+    n_rows = tris.shape[0]
+    n_leaves = n_rows // rpl
+    slots = rpl * PALLAS_LEAF
+    # gather all leaf-local slots (zero pads included) -> [n_leaves*slots, 3, 3]
+    v9 = np.zeros((n_leaves, slots, 9), np.float32)
+    for rr in range(rpl):
+        for k in range(PALLAS_LEAF):
+            v9[:, rr * PALLAS_LEAF + k] = \
+                tris[rr::rpl][:n_leaves, 9 * k: 9 * k + 9]
+    v = v9.reshape(-1, 3, 3).astype(np.float64)
+    e1 = v[:, 1] - v[:, 0]
+    e2 = v[:, 2] - v[:, 0]
+    n0 = np.cross(e1, e2)
+    n2 = (n0 * n0).sum(-1)
+    ok = n2 > 1e-30
+    n2s = np.where(ok, n2, 1.0)
+    nh = n0 / np.sqrt(n2s)[:, None]
+    dh = (nh * v[:, 0]).sum(-1)
+    a = np.cross(e2, n0) / n2s[:, None]
+    b = np.cross(n0, e1) / n2s[:, None]
+    a0 = -(a * v[:, 0]).sum(-1)
+    b0 = -(b * v[:, 0]).sum(-1)
+    rec = np.concatenate(
+        [nh, dh[:, None], a, a0[:, None], b, b0[:, None]],
+        axis=-1).astype(np.float32)
+    rec[~ok] = 0.0
+    rec = rec.reshape(n_leaves, slots, 12)
+
+    bw_rpl = -(-slots // BW_PER_ROW)
+    out = np.zeros((max(n_leaves, 1) * bw_rpl, 128), np.float32)
+    for j in range(slots):
+        rr, kk = divmod(j, BW_PER_ROW)
+        out[rr::bw_rpl][:n_leaves, 12 * kk: 12 * kk + 12] = rec[:, j]
+    return packed._replace(tris_bw=jnp.asarray(out),
+                           bw_tag=jnp.zeros((bw_rpl,), jnp.float32))
 
 
 def _kernel(ox_ref, oy_ref, oz_ref, dx_ref, dy_ref, dz_ref, tmax_ref,

@@ -131,7 +131,8 @@ def _trace_chain_mega(scene: Scene, o: jnp.ndarray, d: jnp.ndarray,
               fuse_shadows=cfg.fuse_shadows,
               walk_unroll=cfg.walk_unroll,
               occ_mode=cfg.occ_mode,
-              light_cull=cfg.light_cull)
+              light_cull=cfg.light_cull,
+              tri_isect=cfg.tri_isect)
 
     acc0 = jnp.zeros((n_rays, 3), jnp.float32)
     thr0 = jnp.ones((n_rays, 3), jnp.float32)

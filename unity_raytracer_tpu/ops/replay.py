@@ -69,18 +69,24 @@ def combined_materials(scene: Scene) -> Materials:
 
 
 def trace_records(scene: Scene, o: jnp.ndarray, d: jnp.ndarray,
-                  cfg: RenderConfig, bvh) -> Tuple[jnp.ndarray, Records]:
+                  cfg: RenderConfig, bvh,
+                  soft: bool = False) -> Tuple[jnp.ndarray, Records]:
     """Fused megakernel bounce chain with hit recording.
 
     Returns ``(acc [N,3], records)`` with each record stacked over the
     ``max_bounces+1`` segments: t/n/matid/occbits with leading dim B.
     Everything is stop-gradient (the records are facts, not functions).
+
+    ``soft=True``: shadow walks run in MIN mode and the records gain
+    ``st [B, N, L]`` — the per-light min occluder distance the
+    soft-shadow replay needs (trace_segment record_soft).
     """
     from unity_raytracer_tpu.ops.pallas.mega import build_aux, trace_segment
 
     n_rays = o.shape[0]
+    L = scene.lights.positions.shape[0]
     aux = build_aux(scene, cfg.background)
-    kw = dict(n_lights=scene.lights.positions.shape[0],
+    kw = dict(n_lights=L,
               n_spheres=scene.spheres.count,
               n_tris=scene.triangles.count,
               max_bounces=cfg.max_bounces,
@@ -91,7 +97,9 @@ def trace_records(scene: Scene, o: jnp.ndarray, d: jnp.ndarray,
               walk_unroll=cfg.walk_unroll,
               occ_mode=cfg.occ_mode,
               light_cull=cfg.light_cull,
-              record=True)
+              tri_isect=cfg.tri_isect,
+              record=True,
+              record_soft=soft)
 
     acc0 = jnp.zeros((n_rays, 3), jnp.float32)
     thr0 = jnp.ones((n_rays, 3), jnp.float32)
@@ -111,6 +119,8 @@ def trace_records(scene: Scene, o: jnp.ndarray, d: jnp.ndarray,
                    jnp.zeros((n_rays, 3), jnp.float32),
                    jnp.full((n_rays,), -1.0, jnp.float32),
                    jnp.zeros((n_rays,), jnp.float32))
+            if soft:
+                rec = rec + (jnp.full((n_rays, L), 3.0e38, jnp.float32),)
             return args, rec
 
         carry, rec = jax.lax.cond(jnp.any(tmax >= 0.0), live_seg,
@@ -138,6 +148,61 @@ def _sphere_t(o, d, center, r2, selected):
     big = -uoc + sq
     small = -uoc - sq
     return jnp.where(small < 0.0, big, small)
+
+
+def _winner_geometry(scene: Scene, o, d, t_rec, n_rec, comb_f, hit):
+    """Differentiable ``(t_safe, p, n, comb)`` for recorded winners.
+
+    Spheres / loose triangles re-derived analytically from the scene
+    parameters (full gradients); mesh winners via the frozen-plane trick
+    (value == t_rec exactly, chain gradient through o/d preserved — see
+    module docstring). Non-hit lanes carry safe finite values.
+    """
+    S = scene.spheres.count
+    T = scene.triangles.count
+    K = scene.meshes.mesh_count
+    sel3 = lambda m, a, b: jnp.where(m[:, None], a, b)
+    comb = jnp.clip(comb_f.astype(jnp.int32), 0, S + T + K - 1)
+    is_sp = hit & (comb_f >= 0.0) & (comb_f < S)
+    is_lo = hit & (comb_f >= S) & (comb_f < S + T)
+
+    if S:
+        sidx = jnp.clip(comb, 0, S - 1)
+        c_sel = take_rows(scene.spheres.centers, sidx)
+        r2_sel = take_rows(scene.spheres.radius_sq, sidx)
+        t_sph = _sphere_t(o, d, c_sel, r2_sel, is_sp)
+    if T:
+        tidx = jnp.clip(comb - S, 0, T - 1)
+        tv = take_rows(scene.triangles.verts, tidx)          # [N,3,3]
+        t_tri = _mt_one(o, d, tv[:, 0], tv[:, 1], tv[:, 2])
+        t_tri = jnp.where(is_lo & jnp.isfinite(t_tri), t_tri, 1.0)
+        n_tri = take_rows(scene.triangles.normals, tidx)
+
+    # mesh winners: differentiable plane-intersection t against the
+    # FROZEN winner plane (constant point p0 + recorded normal); value
+    # == t_rec exactly, d t/d(o,d) preserved for mirror-chain gradients
+    p0 = (jax.lax.stop_gradient(o)
+          + jax.lax.stop_gradient(d) * t_rec[:, None])
+    denom = jnp.sum(n_rec * d, axis=-1)
+    denom = jnp.where(jnp.abs(denom) < 1e-12, 1.0, denom)
+    t_mesh = jnp.sum(n_rec * (p0 - o), axis=-1) / denom + \
+        jax.lax.stop_gradient(t_rec - jnp.sum(n_rec * (p0 - o),
+                                              axis=-1) / denom)
+    t = jnp.where(hit & (comb_f >= S + T), t_mesh, t_rec)
+    n = n_rec
+    if S:
+        t = jnp.where(is_sp, t_sph, t)
+    if T:
+        t = jnp.where(is_lo, t_tri, t)
+    t_safe = jnp.where(hit, t, 1.0)
+    p = o + d * t_safe[:, None]
+    if S:
+        n_sph = (p - c_sel) * jax.lax.rsqrt(
+            jnp.maximum(r2_sel, 1e-60))[:, None]
+        n = sel3(is_sp, n_sph, n)
+    if T:
+        n = sel3(is_lo, n_tri, n)
+    return t_safe, p, n, comb
 
 
 def replay_lighting(scene: Scene, p, n, v, mats: Materials,
@@ -216,53 +281,8 @@ def replay_radiance(scene: Scene, o: jnp.ndarray, d: jnp.ndarray,
 
     def segment(s, t_rec, n_rec, comb_f, occ, acc, thr, o, d, live):
         hit = live & (t_rec >= 0.0)
-        comb = jnp.clip(comb_f.astype(jnp.int32), 0, S + T + K - 1)
-        is_sp = hit & (comb_f >= 0.0) & (comb_f < S)
-        is_lo = hit & (comb_f >= S) & (comb_f < S + T)
-
-        # sphere winners: analytic t + normal (differentiable)
-        if S:
-            sidx = jnp.clip(comb, 0, S - 1)
-            c_sel = take_rows(scene.spheres.centers, sidx)
-            r2_sel = take_rows(scene.spheres.radius_sq, sidx)
-            t_sph = _sphere_t(o, d, c_sel, r2_sel, is_sp)
-        # loose-triangle winners: analytic t + stored normal
-        if T:
-            tidx = jnp.clip(comb - S, 0, T - 1)
-            tv = take_rows(scene.triangles.verts, tidx)      # [N,3,3]
-            t_tri = _mt_one(o, d, tv[:, 0], tv[:, 1], tv[:, 2])
-            t_tri = jnp.where(is_lo & jnp.isfinite(t_tri), t_tri, 1.0)
-            n_tri = take_rows(scene.triangles.normals, tidx)
-
-        # mesh winners: differentiable plane-intersection t against the
-        # FROZEN winner plane. The plane (point p0, normal n_rec) is a
-        # constant — mesh verts are not optimizable — but t must stay a
-        # function of (o, d) so chain gradients flow through mirror
-        # bounces that LAND on the mesh (d t/d o = -n/(n.d) etc.), the
-        # same term the composed path gets from re-deriving t via
-        # Moller-Trumbore on the winner triangle. Value == t_rec exactly.
-        p0 = (jax.lax.stop_gradient(o)
-              + jax.lax.stop_gradient(d) * t_rec[:, None])
-        denom = jnp.sum(n_rec * d, axis=-1)
-        denom = jnp.where(jnp.abs(denom) < 1e-12, 1.0, denom)
-        t_mesh = jnp.sum(n_rec * (p0 - o), axis=-1) / denom + \
-            jax.lax.stop_gradient(t_rec - jnp.sum(n_rec * (p0 - o),
-                                                  axis=-1) / denom)
-        t = jnp.where(hit & (comb_f >= S + T), t_mesh, t_rec)
-        n = n_rec
-        if S:
-            t = jnp.where(is_sp, t_sph, t)
-        if T:
-            t = jnp.where(is_lo, t_tri, t)
-        t_safe = jnp.where(hit, t, 1.0)
-        p = o + d * t_safe[:, None]
-        if S:
-            n_sph = (p - c_sel) * jax.lax.rsqrt(
-                jnp.maximum(r2_sel, 1e-60))[:, None]
-            n = sel3(is_sp, n_sph, n)
-        if T:
-            n = sel3(is_lo, n_tri, n)
-
+        _, p, n, comb = _winner_geometry(scene, o, d, t_rec, n_rec,
+                                         comb_f, hit)
         mats = jax.tree.map(lambda a: take_rows(a, comb), mats_table)
         local = replay_lighting(scene, p, n, -d, mats, occ, hit,
                                 light_cull=cfg.light_cull)
@@ -298,6 +318,234 @@ def replay_radiance(scene: Scene, o: jnp.ndarray, d: jnp.ndarray,
     return acc
 
 
+def _soft_lighting(scene: Scene, p, n, v, mats: Materials,
+                   st_rec: jnp.ndarray, cfg: RenderConfig):
+    """Soft-shadow direct lighting from recorded mesh min-t plus
+    jnp-recomputed sphere / loose-triangle occluder minima — the terms
+    of shade.direct_lighting at ``soft_shadow_temp > 0`` without any
+    traversal. ``st_rec [N,L]`` is the min-mode record (_BIG when
+    unoccluded); sphere/loose occluders are re-derived so their
+    silhouette gradients flow; the mesh branch is a frozen constant."""
+    from unity_raytracer_tpu.ops import intersect as isect
+    from unity_raytracer_tpu.ops.shade import _soft_or_hard_vis
+
+    temp = cfg.diff.soft_shadow_temp
+    stt = cfg.diff.straight_through
+    color = mats.ambient * scene.lights.ambient[None, :]
+    L = scene.lights.positions.shape[0]
+    if L == 0:
+        return color
+
+    lvec = scene.lights.positions[None, :, :] - p[:, None, :]   # [N,L,3]
+    ldist_sq = jnp.sum(lvec * lvec, axis=-1)
+    ldir = lvec * jax.lax.rsqrt(jnp.maximum(ldist_sq, 1e-60))[..., None]
+    ln = jnp.sum(ldir * n[:, None, :], axis=-1)                 # [N,L]
+    so = p + n * SHADOW_EPS
+
+    big = jnp.float32(3.0e38)
+    st_jnp = jnp.full(ldist_sq.shape, big)
+    S = scene.spheres.count
+    if S:
+        oc = so[:, None, None, :] - scene.spheres.centers[None, None]
+        uoc = jnp.sum(ldir[:, :, None, :] * oc, axis=-1)        # [N,L,S]
+        oc2 = jnp.sum(oc * oc, axis=-1)
+        disc = uoc * uoc - (oc2 - scene.spheres.radius_sq[None, None])
+        pos = disc > 0.0
+        # double-where: masked lanes get zero subgradient, not sqrt'(0)
+        sq = jnp.where(pos, jnp.sqrt(jnp.where(pos, disc, 1.0)), 0.0)
+        bigroot = -uoc + sq
+        small = -uoc - sq
+        t_s = jnp.where(small < 0.0, bigroot, small)
+        ok = (disc >= 0.0) & (bigroot >= 0.0) \
+            & scene.spheres.valid[None, None]
+        st_jnp = jnp.minimum(st_jnp,
+                             jnp.min(jnp.where(ok, t_s, big), axis=-1))
+    T = scene.triangles.count
+    if T:
+        so_f = jnp.broadcast_to(so[:, None, :], ldir.shape).reshape(-1, 3)
+        d_f = ldir.reshape(-1, 3)
+        for ti in range(T):
+            tv = scene.triangles.verts[ti]
+            tt = _mt_one(so_f, d_f, tv[0][None], tv[1][None],
+                         tv[2][None])
+            tt = jnp.where(jnp.isfinite(tt) & scene.triangles.valid[ti],
+                           tt, big)
+            st_jnp = jnp.minimum(st_jnp, tt.reshape(ldist_sq.shape))
+    # scene-AABB gate (shadow_min_t inherits IntersectRay's early-out)
+    in_box = isect.ray_aabb(so[:, None, :], ldir,
+                            scene.aabb_min, scene.aabb_max)
+    st_jnp = jnp.where(in_box, st_jnp, big)
+    # min with the frozen mesh record; <= keeps the DIFFERENTIABLE
+    # branch at exact ties (jnp.minimum would route the gradient to the
+    # frozen side)
+    st = jnp.where(st_jnp <= st_rec, st_jnp,
+                   jax.lax.stop_gradient(st_rec))
+    occ = (st * st) < ldist_sq
+    vis = _soft_or_hard_vis(~occ, st * st - ldist_sq, temp, stt)
+
+    irr = scene.lights.intensities[None] \
+        / jnp.maximum(ldist_sq, 1e-60)[..., None]
+    diffuse = (mats.diffuse[:, None, :]
+               * jnp.maximum(0.0, ln)[..., None] * irr)
+    hv = ldir + v[:, None, :]
+    hv = hv / jnp.maximum(jnp.linalg.norm(hv, axis=-1, keepdims=True),
+                          1e-30)
+    nh = jnp.maximum(0.0, jnp.sum(n[:, None, :] * hv, axis=-1))
+    spec = (mats.specular[:, None, :]
+            * (nh ** mats.phong[:, None])[..., None] * irr
+            * (ln >= 0.0).astype(jnp.float32)[..., None])
+    lvalid = scene.lights.valid[None, :, None].astype(jnp.float32)
+    if cfg.light_cull > 0.0:
+        kdks = (jnp.max(mats.diffuse, axis=-1)
+                + jnp.max(mats.specular, axis=-1))
+        imax = jnp.max(scene.lights.intensities, axis=-1)
+        keep = (kdks[:, None] * imax[None, :]
+                >= cfg.light_cull * ldist_sq)
+        lvalid = lvalid * jax.lax.stop_gradient(keep)[..., None] \
+            .astype(jnp.float32)
+    return color + jnp.sum((diffuse + spec) * vis[..., None] * lvalid,
+                           axis=1)
+
+
+def replay_radiance_soft(scene: Scene, o: jnp.ndarray, d: jnp.ndarray,
+                         records, cfg: RenderConfig) -> jnp.ndarray:
+    """Differentiable SOFT-visibility radiance from soft records — the
+    fast silhouette-fitting path (VERDICT r3 next-step #3).
+
+    Under ``straight_through`` the forward VALUE equals the hard
+    megakernel image exactly (soft terms enter gradients only).
+    Gradient semantics vs the composed soft path:
+
+    * sphere silhouettes (soft_hit proxy/winner margins) and sphere /
+      loose-triangle occluder soft shadows: recomputed in pure jnp —
+      exact, full parameter gradients;
+    * mesh winner geometry and mesh-occluder st: frozen records — no
+      gradient through mesh geometry (not optimizable) and the
+      d st/d(origin, light) chain terms through a MESH occluder are
+      dropped;
+    * proxy (miss-side silhouette) lanes assume no mesh occlusion of
+      their shadow rays — the hard forward never queried them; their
+      sphere/loose occlusion is recomputed exactly.
+    """
+    from unity_raytracer_tpu.ops.intersect import sphere_margins
+
+    rt_all, rn_all, rmat_all, _, rst_all = records
+    B = rt_all.shape[0]
+    S = scene.spheres.count
+    mats_table = combined_materials(scene)
+    bg = jnp.asarray(cfg.background, jnp.float32) * 255.0
+    n_rays = o.shape[0]
+    acc = jnp.zeros((n_rays, 3), jnp.float32)
+    thr = jnp.ones((n_rays, 3), jnp.float32)
+    live = jnp.ones((n_rays,), bool)
+    sel3 = lambda m, a, b: jnp.where(m[:, None], a, b)
+    ht = cfg.diff.soft_hit_temp
+    stt = cfg.diff.straight_through
+
+    def segment(s, t_rec, n_rec, comb_f, st_rec, acc, thr, o, d, live):
+        hit = live & (t_rec >= 0.0)
+        _, p, n, comb = _winner_geometry(scene, o, d, t_rec, n_rec,
+                                         comb_f, hit)
+        shade_mask = hit
+        w = hit.astype(jnp.float32)
+        comb2 = comb
+        if ht > 0.0 and S:
+            # sphere silhouette relaxation — the proxy-adoption and
+            # margin-blend logic of render._local_radiance, from the
+            # sphere table alone (cheap [N,S] jnp)
+            margin_mat, t_close_mat = sphere_margins(scene, o, d)
+            j = jnp.argmax(margin_mat, axis=1).astype(jnp.int32)
+            take1 = lambda m: jnp.take_along_axis(m, j[:, None],
+                                                  axis=1)[:, 0]
+            use_proxy = live & ~hit & jnp.isfinite(take1(margin_mat))
+            t_prox = take1(t_close_mat)
+            c_prox = take_rows(scene.spheres.centers, j)
+            p = sel3(use_proxy, o + d * t_prox[:, None], p)
+            n_prox = p - c_prox
+            n_prox = n_prox * jax.lax.rsqrt(jnp.maximum(
+                jnp.sum(n_prox * n_prox, axis=-1, keepdims=True), 1e-60))
+            n = sel3(use_proxy, n_prox, n)
+            comb2 = jnp.where(use_proxy, j, comb)
+            shade_mask = hit | use_proxy
+            win_sphere = hit & (comb_f >= 0.0) & (comb_f < S)
+            sel_idx = jnp.where(win_sphere, jnp.clip(comb, 0, S - 1), j)
+            own = jnp.take_along_axis(margin_mat, sel_idx[:, None],
+                                      axis=1)[:, 0]
+            margin_sel = jnp.where(win_sphere | use_proxy, own, jnp.inf)
+            w_soft = jax.nn.sigmoid(jnp.clip(margin_sel / ht,
+                                             -30.0, 30.0))
+            w = (w_soft + jax.lax.stop_gradient(
+                hit.astype(jnp.float32) - w_soft) if stt else w_soft)
+
+        mats = jax.tree.map(lambda a: take_rows(a, comb2), mats_table)
+        local = _soft_lighting(scene, p, n, -d, mats, st_rec, cfg)
+        local_safe = sel3(shade_mask, local,
+                          jnp.broadcast_to(bg, (n_rays, 3)))
+        contrib = bg[None, :] + w[:, None] * (local_safe - bg[None, :])
+        acc = acc + thr * contrib * live[:, None]
+        if s == B - 1:
+            return acc, thr, o, d, live
+        cont = hit & mats.is_mirror.astype(bool) & (s < cfg.max_bounces)
+        thr = sel3(cont, thr * mats.mirror, thr)
+        o = p + n * SHADOW_EPS
+        d = sel3(cont, sh.reflect_dir(d, n), d)
+        return acc, thr, o, d, cont
+
+    for s in range(B):
+        t_rec = jax.lax.stop_gradient(rt_all[s])
+        n_rec = jax.lax.stop_gradient(rn_all[s])
+        comb_f = jax.lax.stop_gradient(rmat_all[s])
+        st_rec = jax.lax.stop_gradient(rst_all[s])
+        # same exact all-dead-segment skip as the hard replay
+        acc, thr, o, d, live = jax.lax.cond(
+            jnp.any(live),
+            lambda a, s=s, t=t_rec, nr=n_rec, c=comb_f, st=st_rec:
+                segment(s, t, nr, c, st, *a),
+            lambda a: a,
+            (acc, thr, o, d, live))
+    return acc
+
+
+@partial(jax.jit, static_argnames=("cfg",))
+def trace_radiance_replay_soft(scene: Scene, o: jnp.ndarray,
+                               d: jnp.ndarray, cfg: RenderConfig,
+                               bvh) -> jnp.ndarray:
+    """Soft records + differentiable soft replay in one jit. Forward
+    equals the hard megakernel image (straight-through); gradients carry
+    the soft silhouette/shadow terms."""
+    _, recs = trace_records(scene, o, d, cfg, bvh, soft=True)
+    return replay_radiance_soft(scene, o, d, recs, cfg)
+
+
+def _mse(rad, target, weights):
+    if weights is None:
+        return jnp.mean((rad - target) ** 2)
+    return (jnp.sum(((rad - target) ** 2) * weights[:, None])
+            / (jnp.sum(weights) * 3.0))
+
+
+@partial(jax.jit, static_argnames=("cfg",))
+def soft_replay_value_and_grad(template: Scene, params, o, d, target,
+                               cfg: RenderConfig, bvh, weights=None):
+    """Fused SOFT fwd+bwd step at megakernel speed: min-mode records
+    with the CURRENT params + pixel-MSE value_and_grad through the soft
+    replay — the fast path for silhouette fitting (the composed
+    remat+chunked path remains the exact-reference fallback).
+    ``weights`` (optional [N]): per-lane loss weights (e.g. zero on the
+    block-raygen pad margin); loss becomes the weighted mean."""
+    from unity_raytracer_tpu.fit import set_params
+
+    scene_now = set_params(template, params)
+    _, recs = trace_records(scene_now, o, d, cfg, bvh, soft=True)
+
+    def loss_fn(params):
+        s = set_params(template, params)
+        rad = replay_radiance_soft(s, o, d, recs, cfg)
+        return _mse(rad, target, weights)
+
+    return jax.value_and_grad(loss_fn)(params)
+
+
 @partial(jax.jit, static_argnames=("cfg",))
 def trace_radiance_replay(scene: Scene, o: jnp.ndarray, d: jnp.ndarray,
                           cfg: RenderConfig, bvh) -> jnp.ndarray:
@@ -310,7 +558,7 @@ def trace_radiance_replay(scene: Scene, o: jnp.ndarray, d: jnp.ndarray,
 
 @partial(jax.jit, static_argnames=("cfg",))
 def replay_value_and_grad(template: Scene, params, o, d, target,
-                          cfg: RenderConfig, bvh):
+                          cfg: RenderConfig, bvh, weights=None):
     """One fused fwd+bwd step: megakernel forward (records) with the
     CURRENT params + pixel-MSE value_and_grad through the replay.
     ``target`` is radiance on the 0-255 scale, shaped [N,3] like the
@@ -323,6 +571,6 @@ def replay_value_and_grad(template: Scene, params, o, d, target,
     def loss_fn(params):
         s = set_params(template, params)
         rad = replay_radiance(s, o, d, recs, cfg)
-        return jnp.mean((rad - target) ** 2)
+        return _mse(rad, target, weights)
 
     return jax.value_and_grad(loss_fn)(params)

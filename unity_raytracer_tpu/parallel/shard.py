@@ -476,13 +476,17 @@ def nearest_hit_ring(scene: Scene, o: jnp.ndarray, d: jnp.ndarray,
 
 def make_sharded_train_step(template: Scene, cam: Camera, rcfg: RenderConfig,
                             target: jnp.ndarray, mesh: Mesh,
-                            param_names: Tuple[str, ...], tx) -> Callable:
+                            param_names: Tuple[str, ...], tx,
+                            bvh=None) -> Callable:
     """Distributed inverse-rendering step: rays sharded over dp, loss psum,
     scene-parameter grad all-reduce carried by shard_map's backward (XLA
     overlaps it with backward compute).
 
     Returns jitted ``step(params, opt_state, o, d, tgt) ->
     (params, opt_state, loss)`` where o/d/tgt are pre-sharded flat rays.
+    ``bvh``: optional prebuilt (packed) mesh BVH, closed over and
+    replicated — the config-5 shape (BVH + packet kernel under
+    shard_map) rather than the brute-force fallback.
     """
     from unity_raytracer_tpu.fit import set_params
 
@@ -494,7 +498,7 @@ def make_sharded_train_step(template: Scene, cam: Camera, rcfg: RenderConfig,
              out_specs=P(), check_vma=False)
     def sharded_loss(params, o_, d_, tgt_):
         scene = set_params(template, params)
-        rad = trace_radiance(scene, o_, d_, rcfg) / 255.0
+        rad = trace_radiance(scene, o_, d_, rcfg, bvh=bvh) / 255.0
         sse = jnp.sum((rad - tgt_) ** 2)
         return jax.lax.psum(sse, RAY_AXIS) / (n_total * 3)
 

@@ -65,6 +65,13 @@ class RenderConfig:
     #                             processed per while_loop iteration —
     #                             amortizes per-iteration loop/branch
     #                             overhead (the measured cost driver)
+    tri_isect: str = "mt"       # megakernel leaf triangle test: 'mt'
+    #                             (Möller–Trumbore from raw verts) or
+    #                             'bw' (Baldwin–Weber precomputed plane
+    #                             + affine barycentric rows — ~2x fewer
+    #                             vector ops per test, stored shading
+    #                             normal; same hit set to fp rounding).
+    #                             'bw' needs the wide walks (arity >= 2).
     light_cull: float = 0.0     # per-light attenuation culling: skip a
     #                             light's shadow query AND contribution
     #                             for lanes whose conservative bound
