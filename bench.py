@@ -192,14 +192,22 @@ def run_once(name="mesh100k", width=None, height=None, repeats=3,
                 and getattr(bvh, "leafmeta", None) is not None):
             def _grad_replay():
                 from unity_raytracer_tpu.ops.replay import (
-                    replay_value_and_grad, trace_radiance_replay)
+                    live_depth, replay_value_and_grad, trace_records,
+                    trace_radiance_replay)
                 # 0.9x so the loss/grads are nonzero (real backward
                 # values, not a zero-cotangent special case)
                 target = jax.lax.stop_gradient(trace_radiance_replay(
                     scene, o, d, cfg, bvh)) * 0.9
+                # static live prefix: replay only the segments that
+                # carry live records (exact; measured once)
+                _, recs = trace_records(scene, o, d, cfg, bvh)
+                k = live_depth(recs)
+                print(json.dumps({"replay_live_segments": k}),
+                      file=sys.stderr)
                 gc, gs = _timed(
                     lambda: replay_value_and_grad(
-                        scene, params0, o, d, target, cfg, bvh),
+                        scene, params0, o, d, target, cfg, bvh,
+                        live_segments=k),
                     max(1, repeats - 1))
                 print(json.dumps({"grad_replay_compile_s": round(gc, 1)}),
                       file=sys.stderr)
@@ -214,16 +222,21 @@ def run_once(name="mesh100k", width=None, height=None, repeats=3,
                 and getattr(bvh, "leafmeta", None) is not None):
             def _grad_soft():
                 from unity_raytracer_tpu.ops.replay import (
-                    soft_replay_value_and_grad, trace_radiance_replay_soft)
+                    live_depth, soft_replay_value_and_grad,
+                    trace_records, trace_radiance_replay_soft)
                 from unity_raytracer_tpu.utils.config import DiffConfig
                 cfg_s = cfg.with_(diff=DiffConfig(
                     soft_shadow_temp=1.0, soft_hit_temp=0.1,
                     straight_through=True))
                 target = jax.lax.stop_gradient(trace_radiance_replay_soft(
                     scene, o, d, cfg_s, bvh)) * 0.9
+                _, recs = trace_records(scene, o, d, cfg_s, bvh,
+                                        soft=True)
+                k = live_depth(recs)
                 gc, gs = _timed(
                     lambda: soft_replay_value_and_grad(
-                        scene, params0, o, d, target, cfg_s, bvh),
+                        scene, params0, o, d, target, cfg_s, bvh,
+                        live_segments=k),
                     max(1, repeats - 1))
                 print(json.dumps({"grad_soft_compile_s": round(gc, 1)}),
                       file=sys.stderr)
@@ -272,7 +285,10 @@ def run_once(name="mesh100k", width=None, height=None, repeats=3,
     # fraction is auditable. Flagship-scene-specific; scaled by pixel
     # count for other resolutions of the same scene.
     MODEL_GFLOP_1080P = {"mt": 164.6, "bw": 111.3}
-    VPU_EFF = 2.3e12  # counted-ops/s through the r4 ubench (KERNELS.md)
+    # measured counted-ops/s of a 65536-lane fused mul/add/min/max/select
+    # chain on this chip (r4 session, docs/measurements/tpu_r4.jsonl
+    # step="vpu") — the realistic VPU ceiling for leaf-test-shaped code
+    VPU_EFF = 2.12e12
     compute_bound = None
     model_gflop = None
     if name == "mesh100k" and kernel == "mega":

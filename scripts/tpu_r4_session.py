@@ -178,35 +178,14 @@ def main():
                                              make_chunked_value_and_grad)
         from unity_raytracer_tpu.ops.render import trace_radiance
         from unity_raytracer_tpu.ops.replay import (
-            replay_value_and_grad, soft_replay_value_and_grad,
-            trace_radiance_replay, trace_radiance_replay_soft)
+            live_depth, replay_value_and_grad,
+            soft_replay_value_and_grad, trace_radiance_replay,
+            trace_radiance_replay_soft, trace_records)
         from unity_raytracer_tpu.utils.config import DiffConfig
 
-        best = None
-        try:
-            with open(OUT) as f:
-                rows = [json.loads(l) for l in f if l.strip()]
-            sweeps = [r for r in rows if r.get("step") == "sweep"
-                      and "frame_s" in r]
-            if sweeps:
-                best = min(sweeps, key=lambda r: r["frame_s"])
-        except Exception:
-            pass
+        # headline fwd+bwd at the EXACT-mode best config (bw leaves, no
+        # cull); a cull-4 variant is timed separately below
         kw = dict(bvh_leaf=56, tri_isect="bw")
-        if best:
-            n = best["variant"]
-            kw["tri_isect"] = "bw" if "bw" in n else "mt"
-            for lf in (70, 56, 42):
-                if f"leaf{lf}" in n:
-                    kw["bvh_leaf"] = lf
-            if "u3" in n:
-                kw["walk_unroll"] = 3
-            if "fused" in n:
-                kw["fuse_shadows"] = True
-            if "cull2" in n:
-                kw["light_cull"] = 2.0
-            if "cull4" in n:
-                kw["light_cull"] = 4.0
         cfg = cfg0.with_(**kw)
         packed = packed_for(kw.get("bvh_leaf", 56))
         emit(step="grad_config", **kw)
@@ -217,12 +196,29 @@ def main():
 
         target = jax.block_until_ready(jax.lax.stop_gradient(
             trace_radiance_replay(scene, o, d, cfg, packed))) * 0.9
+        _, recs = trace_records(scene, o, d, cfg, packed)
+        k = live_depth(recs)
+        emit(step="replay_live_segments", k=k)
         c, t, vg = timed(lambda: replay_value_and_grad(
-            scene, params0, o, d, target, cfg, packed), reps=2)
+            scene, params0, o, d, target, cfg, packed,
+            live_segments=k), reps=2)
         gnorm = float(sum(float(jnp.sum(g * g)) for g in vg[1].values()))
         emit(step="grad_replay", compile_s=c, grad_s=t,
              rays_per_s_fwd_bwd=ISSUED / t, loss=float(vg[0]),
              grad_sq_norm=gnorm)
+
+        # cull-4 variant of the same step (the bounded-error perf mode)
+        try:
+            cfg_c4 = cfg.with_(light_cull=4.0)
+            t4 = jax.block_until_ready(jax.lax.stop_gradient(
+                trace_radiance_replay(scene, o, d, cfg_c4, packed))) * 0.9
+            c, t, vg = timed(lambda: replay_value_and_grad(
+                scene, params0, o, d, t4, cfg_c4, packed,
+                live_segments=k), reps=2)
+            emit(step="grad_replay_cull4", compile_s=c, grad_s=t,
+                 rays_per_s_fwd_bwd=ISSUED / t, loss=float(vg[0]))
+        except Exception as e:
+            emit(step="grad_replay_cull4", error=repr(e)[:300])
 
         cfg_s = cfg.with_(diff=DiffConfig(soft_shadow_temp=1.0,
                                           soft_hit_temp=0.1,
@@ -231,7 +227,8 @@ def main():
             trace_radiance_replay_soft(scene, o, d, cfg_s,
                                        packed))) * 0.9
         c, t, vg = timed(lambda: soft_replay_value_and_grad(
-            scene, params0, o, d, target_s, cfg_s, packed), reps=2)
+            scene, params0, o, d, target_s, cfg_s, packed,
+            live_segments=k), reps=2)
         gnorm = float(sum(float(jnp.sum(g * g)) for g in vg[1].values()))
         emit(step="grad_soft_replay", compile_s=c, grad_s=t,
              rays_per_s_fwd_bwd=ISSUED / t, loss=float(vg[0]),

@@ -172,3 +172,24 @@ def test_replay_shipped_knobs_with_light_cull(scene_cam):
         np.testing.assert_allclose(a, b, rtol=5e-3, atol=5e-4 * scale,
                                    err_msg=f"grad mismatch for {k}")
         assert np.abs(b).max() > 0, k
+
+
+def test_replay_live_prefix_exact(scene_cam):
+    """The static live-segment prefix (the r4 replacement for the
+    OOM-prone dynamic cond skip) must reproduce the full replay
+    EXACTLY when k = live_depth(records)."""
+    scene, cam = scene_cam
+    packed = bvhmod.prepare_bvh(scene, CFG.with_(kernel="mega"))
+    o, d = _rays(cam, CFG)
+    _, recs = rp.trace_records(scene, o, d, CFG.with_(kernel="mega"),
+                               packed)
+    k = rp.live_depth(recs)
+    assert 1 <= k <= CFG.max_bounces + 1
+    full = np.asarray(rp.replay_radiance(scene, o, d, recs, CFG))
+    pref = np.asarray(rp.replay_radiance(scene, o, d, recs, CFG,
+                                         live_segments=k))
+    np.testing.assert_array_equal(pref, full)
+    # an overlong prefix is also exact (extra segments are all-dead)
+    over = np.asarray(rp.replay_radiance(scene, o, d, recs, CFG,
+                                         live_segments=k + 1))
+    np.testing.assert_array_equal(over, full)

@@ -219,11 +219,20 @@ def fit(template: Scene, cam: Camera, rcfg: RenderConfig,
         lane_w = swizzle_image(
             jnp.ones((cam.height, cam.width, 1), jnp.float32),
             rcfg.block_size)[:, 0]
+        # static live-segment prefix for the replay (exact skip of the
+        # all-dead bounce tail), measured once on the template scene
+        # with +1 margin — the mirror topology is fixed during a fit
+        # but a moving mirror sphere could extend a chain by one
+        from unity_raytracer_tpu.ops.replay import (live_depth,
+                                                    trace_records)
+        _, recs0 = trace_records(template, o, d, rcfg_m, bvh, soft=True)
+        k = min(rcfg_m.max_bounces + 1, live_depth(recs0) + 1)
         scale = 1.0 / (255.0 * 255.0)  # radiance-scale MSE -> image MSE
         value_and_grad = lambda p: jax.tree.map(
             lambda x: x * scale,
             soft_replay_value_and_grad(template, p, o, d, tgt_rad,
-                                       rcfg_m, bvh, weights=lane_w))
+                                       rcfg_m, bvh, weights=lane_w,
+                                       live_segments=k))
     elif rcfg.ray_chunk:
         from unity_raytracer_tpu.models.camera import generate_rays_blocks
         from unity_raytracer_tpu.utils.swizzle import swizzle_image

@@ -48,6 +48,7 @@ from typing import Tuple
 
 import jax
 import jax.numpy as jnp
+import numpy as np
 
 from unity_raytracer_tpu.models.scene import Materials, Scene
 from unity_raytracer_tpu.ops import shade as sh
@@ -256,7 +257,8 @@ def replay_lighting(scene: Scene, p, n, v, mats: Materials,
 
 
 def replay_radiance(scene: Scene, o: jnp.ndarray, d: jnp.ndarray,
-                    records: Records, cfg: RenderConfig) -> jnp.ndarray:
+                    records: Records, cfg: RenderConfig,
+                    live_segments: int | None = None) -> jnp.ndarray:
     """Differentiable radiance [N,3] (0-255 scale) from frozen records.
 
     Statically unrolled over the (small) segment count; each level is
@@ -264,6 +266,10 @@ def replay_radiance(scene: Scene, o: jnp.ndarray, d: jnp.ndarray,
     scene parameters for spheres/loose triangles, taken from the record
     for mesh triangles (see module docstring for why that is exact for
     every fit.PARAM_PATHS class).
+
+    ``live_segments`` (static): process only the first k segments —
+    exact IF no record beyond the prefix is live (caller-measured, see
+    live_depth); None processes all.
     """
     rt_all, rn_all, rmat_all, rocc_all = records
     B = rt_all.shape[0]
@@ -297,24 +303,24 @@ def replay_radiance(scene: Scene, o: jnp.ndarray, d: jnp.ndarray,
         d = sel3(cont, sh.reflect_dir(d, n), d)
         return acc, thr, o, d, cont
 
-    for s in range(B):
+    # All-dead segments (the flagship's segments 2-4) contribute exactly
+    # zero (live gates the add) and feed only further dead segments, so
+    # processing just the live PREFIX is exact. The prefix length is a
+    # STATIC argument (``live_segments``, measured once by the caller —
+    # bench.py / fit.py): a dynamic lax.cond skip was tried and REVERTED
+    # — under value_and_grad each cond doubles the branch residual
+    # buffers and the 1080p replay RESOURCE_EXHAUSTs a v5e (r4 session,
+    # docs/measurements/tpu_r4.jsonl). This cuts the replay's fwd+bwd
+    # [N,L] tensor work from B segments to the live prefix — the r3
+    # "replay tax" was ~61ms with all 5 segments replayed (VERDICT #2).
+    for s in range(B if live_segments is None
+                   else min(B, max(1, live_segments))):
         t_rec = jax.lax.stop_gradient(rt_all[s])
         n_rec = jax.lax.stop_gradient(rn_all[s])
         comb_f = jax.lax.stop_gradient(rmat_all[s])
         occ = jax.lax.stop_gradient(rocc_all[s])
-        # all-dead segments (the flagship's segments 2-4) are skipped at
-        # ONE runtime predicate: a dead segment accumulates exactly zero
-        # (live gates the add) and its carried state feeds only further
-        # dead segments, so the skip is exact. This cuts the replay's
-        # fwd+bwd [N,L] tensor work from B segments to the live prefix —
-        # the r3 "replay tax" was ~61ms with all 5 segments replayed
-        # (VERDICT r3 next-step #2).
-        acc, thr, o, d, live = jax.lax.cond(
-            jnp.any(live),
-            lambda a, s=s, t=t_rec, nr=n_rec, c=comb_f, oc=occ:
-                segment(s, t, nr, c, oc, *a),
-            lambda a: a,
-            (acc, thr, o, d, live))
+        acc, thr, o, d, live = segment(s, t_rec, n_rec, comb_f, occ,
+                                       acc, thr, o, d, live)
     return acc
 
 
@@ -408,7 +414,8 @@ def _soft_lighting(scene: Scene, p, n, v, mats: Materials,
 
 
 def replay_radiance_soft(scene: Scene, o: jnp.ndarray, d: jnp.ndarray,
-                         records, cfg: RenderConfig) -> jnp.ndarray:
+                         records, cfg: RenderConfig,
+                         live_segments: int | None = None) -> jnp.ndarray:
     """Differentiable SOFT-visibility radiance from soft records — the
     fast silhouette-fitting path (VERDICT r3 next-step #3).
 
@@ -491,18 +498,16 @@ def replay_radiance_soft(scene: Scene, o: jnp.ndarray, d: jnp.ndarray,
         d = sel3(cont, sh.reflect_dir(d, n), d)
         return acc, thr, o, d, cont
 
-    for s in range(B):
+    # same static live-prefix skip as the hard replay (see the comment
+    # there: a dynamic cond skip OOMs under value_and_grad)
+    for s in range(B if live_segments is None
+                   else min(B, max(1, live_segments))):
         t_rec = jax.lax.stop_gradient(rt_all[s])
         n_rec = jax.lax.stop_gradient(rn_all[s])
         comb_f = jax.lax.stop_gradient(rmat_all[s])
         st_rec = jax.lax.stop_gradient(rst_all[s])
-        # same exact all-dead-segment skip as the hard replay
-        acc, thr, o, d, live = jax.lax.cond(
-            jnp.any(live),
-            lambda a, s=s, t=t_rec, nr=n_rec, c=comb_f, st=st_rec:
-                segment(s, t, nr, c, st, *a),
-            lambda a: a,
-            (acc, thr, o, d, live))
+        acc, thr, o, d, live = segment(s, t_rec, n_rec, comb_f, st_rec,
+                                       acc, thr, o, d, live)
     return acc
 
 
@@ -524,9 +529,10 @@ def _mse(rad, target, weights):
             / (jnp.sum(weights) * 3.0))
 
 
-@partial(jax.jit, static_argnames=("cfg",))
+@partial(jax.jit, static_argnames=("cfg", "live_segments"))
 def soft_replay_value_and_grad(template: Scene, params, o, d, target,
-                               cfg: RenderConfig, bvh, weights=None):
+                               cfg: RenderConfig, bvh, weights=None,
+                               live_segments: int | None = None):
     """Fused SOFT fwd+bwd step at megakernel speed: min-mode records
     with the CURRENT params + pixel-MSE value_and_grad through the soft
     replay — the fast path for silhouette fitting (the composed
@@ -540,7 +546,8 @@ def soft_replay_value_and_grad(template: Scene, params, o, d, target,
 
     def loss_fn(params):
         s = set_params(template, params)
-        rad = replay_radiance_soft(s, o, d, recs, cfg)
+        rad = replay_radiance_soft(s, o, d, recs, cfg,
+                                   live_segments=live_segments)
         return _mse(rad, target, weights)
 
     return jax.value_and_grad(loss_fn)(params)
@@ -556,9 +563,19 @@ def trace_radiance_replay(scene: Scene, o: jnp.ndarray, d: jnp.ndarray,
     return replay_radiance(scene, o, d, recs, cfg)
 
 
-@partial(jax.jit, static_argnames=("cfg",))
+def live_depth(records) -> int:
+    """Number of bounce segments with >= 1 live record — the exact
+    static prefix for ``live_segments``. Host-side (one tiny sync);
+    stable across a fit (mirror topology does not change), so measure
+    once and reuse."""
+    rt = records[0]
+    return int(np.asarray(jnp.any(rt >= 0.0, axis=1).sum()))
+
+
+@partial(jax.jit, static_argnames=("cfg", "live_segments"))
 def replay_value_and_grad(template: Scene, params, o, d, target,
-                          cfg: RenderConfig, bvh, weights=None):
+                          cfg: RenderConfig, bvh, weights=None,
+                          live_segments: int | None = None):
     """One fused fwd+bwd step: megakernel forward (records) with the
     CURRENT params + pixel-MSE value_and_grad through the replay.
     ``target`` is radiance on the 0-255 scale, shaped [N,3] like the
@@ -570,7 +587,8 @@ def replay_value_and_grad(template: Scene, params, o, d, target,
 
     def loss_fn(params):
         s = set_params(template, params)
-        rad = replay_radiance(s, o, d, recs, cfg)
+        rad = replay_radiance(s, o, d, recs, cfg,
+                              live_segments=live_segments)
         return _mse(rad, target, weights)
 
     return jax.value_and_grad(loss_fn)(params)
