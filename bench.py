@@ -228,15 +228,16 @@ def run_once(name="mesh100k", width=None, height=None, repeats=3,
                 cfg_s = cfg.with_(diff=DiffConfig(
                     soft_shadow_temp=1.0, soft_hit_temp=0.1,
                     straight_through=True))
+                ch = 1 << 18  # bound the pure-jnp replay working set
                 target = jax.lax.stop_gradient(trace_radiance_replay_soft(
-                    scene, o, d, cfg_s, bvh)) * 0.9
+                    scene, o, d, cfg_s, bvh, chunk=ch)) * 0.9
                 _, recs = trace_records(scene, o, d, cfg_s, bvh,
                                         soft=True)
                 k = live_depth(recs)
                 gc, gs = _timed(
                     lambda: soft_replay_value_and_grad(
                         scene, params0, o, d, target, cfg_s, bvh,
-                        live_segments=k),
+                        live_segments=k, chunk=ch),
                     max(1, repeats - 1))
                 print(json.dumps({"grad_soft_compile_s": round(gc, 1)}),
                       file=sys.stderr)

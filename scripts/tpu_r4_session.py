@@ -224,11 +224,11 @@ def main():
                                           soft_hit_temp=0.1,
                                           straight_through=True))
         target_s = jax.block_until_ready(jax.lax.stop_gradient(
-            trace_radiance_replay_soft(scene, o, d, cfg_s,
-                                       packed))) * 0.9
+            trace_radiance_replay_soft(scene, o, d, cfg_s, packed,
+                                       chunk=1 << 18))) * 0.9
         c, t, vg = timed(lambda: soft_replay_value_and_grad(
             scene, params0, o, d, target_s, cfg_s, packed,
-            live_segments=k), reps=2)
+            live_segments=k, chunk=1 << 18), reps=2)
         gnorm = float(sum(float(jnp.sum(g * g)) for g in vg[1].values()))
         emit(step="grad_soft_replay", compile_s=c, grad_s=t,
              rays_per_s_fwd_bwd=ISSUED / t, loss=float(vg[0]),

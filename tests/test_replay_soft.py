@@ -158,3 +158,31 @@ def test_soft_grads_finite_and_descend(shadowed):
         updates, opt_state = tx.update(g, opt_state, params)
         params = optax.apply_updates(params, updates)
     assert losses[-1] < losses[0] * 0.5, losses
+
+
+def test_soft_replay_chunked_matches_unchunked(shadowed):
+    """chunk= bounds the replay working set (the 1080p OOM fix); the
+    chunked scan-of-vjp loss/grads must equal the unchunked ones."""
+    scene, cam = shadowed
+    packed = bvhmod.prepare_bvh(scene, CFG.with_(kernel="mega"))
+    o, d = _rays(cam)
+    names = ("sphere_centers", "sphere_diffuse")
+    params = get_params(scene, names)
+    target = jax.lax.stop_gradient(rp.trace_radiance_replay_soft(
+        scene, o, d, CFG.with_(kernel="mega"), packed))
+    # chunked FORWARD matches too
+    f_chunk = np.asarray(rp.trace_radiance_replay_soft(
+        scene, o, d, CFG.with_(kernel="mega"), packed, chunk=128))
+    np.testing.assert_allclose(f_chunk, np.asarray(target),
+                               rtol=1e-6, atol=1e-6)
+    l0, g0 = rp.soft_replay_value_and_grad(
+        scene, params, o, d, target * 0.9, CFG.with_(kernel="mega"),
+        packed)
+    l1, g1 = rp.soft_replay_value_and_grad(
+        scene, params, o, d, target * 0.9, CFG.with_(kernel="mega"),
+        packed, chunk=128)
+    np.testing.assert_allclose(float(l1), float(l0), rtol=1e-5)
+    for kk in names:
+        np.testing.assert_allclose(np.asarray(g1[kk]),
+                                   np.asarray(g0[kk]),
+                                   rtol=1e-4, atol=1e-7, err_msg=kk)

@@ -227,12 +227,16 @@ def fit(template: Scene, cam: Camera, rcfg: RenderConfig,
                                                     trace_records)
         _, recs0 = trace_records(template, o, d, rcfg_m, bvh, soft=True)
         k = min(rcfg_m.max_bounces + 1, live_depth(recs0) + 1)
+        # chunk the pure-jnp replay at frame scale (the megakernel
+        # records pass streams fine; the replay's [N,L,S] temps don't)
+        ch = rcfg.ray_chunk or ((1 << 18) if o.shape[0] > (1 << 18)
+                                else None)
         scale = 1.0 / (255.0 * 255.0)  # radiance-scale MSE -> image MSE
         value_and_grad = lambda p: jax.tree.map(
             lambda x: x * scale,
             soft_replay_value_and_grad(template, p, o, d, tgt_rad,
                                        rcfg_m, bvh, weights=lane_w,
-                                       live_segments=k))
+                                       live_segments=k, chunk=ch))
     elif rcfg.ray_chunk:
         from unity_raytracer_tpu.models.camera import generate_rays_blocks
         from unity_raytracer_tpu.utils.swizzle import swizzle_image

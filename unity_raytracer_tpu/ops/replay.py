@@ -511,15 +511,62 @@ def replay_radiance_soft(scene: Scene, o: jnp.ndarray, d: jnp.ndarray,
     return acc
 
 
-@partial(jax.jit, static_argnames=("cfg",))
+def _chunk_records(o, d, target, weights, recs, chunk):
+    """Reshape per-lane arrays to [nc, chunk, ...] (records keep their
+    leading segment dim B inside each chunk: [nc, B, chunk, ...]).
+    Pads with dead lanes / zero weights."""
+    n = o.shape[0]
+    pad = (-n) % chunk
+    w = (jnp.asarray(weights, jnp.float32) if weights is not None
+         else jnp.ones((n,), jnp.float32))
+    if pad:
+        z = jnp.zeros((pad, 3), jnp.float32).at[:, 2].set(1.0)
+        o = jnp.concatenate([o, z], 0)
+        d = jnp.concatenate([d, z], 0)
+        if target is not None:
+            target = jnp.concatenate(
+                [target, jnp.zeros((pad, 3), jnp.float32)], 0)
+        w = jnp.concatenate([w, jnp.zeros((pad,), jnp.float32)])
+
+        def pad_rec(r, fill):
+            shp = (r.shape[0], pad) + r.shape[2:]
+            return jnp.concatenate(
+                [r, jnp.full(shp, fill, r.dtype)], axis=1)
+        recs = (pad_rec(recs[0], -1.0), pad_rec(recs[1], 0.0),
+                pad_rec(recs[2], -1.0), pad_rec(recs[3], 0.0)) + (
+            (pad_rec(recs[4], 3.0e38),) if len(recs) > 4 else ())
+    nc = o.shape[0] // chunk
+    cl = lambda x: x.reshape(nc, chunk, *x.shape[1:])
+    # records: [B, N, ...] -> [nc, B, chunk, ...]
+    cr = lambda r: jnp.moveaxis(
+        r.reshape(r.shape[0], nc, chunk, *r.shape[2:]), 1, 0)
+    return (cl(o), cl(d),
+            cl(target) if target is not None else None, cl(w),
+            tuple(cr(r) for r in recs), jnp.sum(w))
+
+
+@partial(jax.jit, static_argnames=("cfg", "live_segments", "chunk"))
 def trace_radiance_replay_soft(scene: Scene, o: jnp.ndarray,
                                d: jnp.ndarray, cfg: RenderConfig,
-                               bvh) -> jnp.ndarray:
+                               bvh, live_segments: int | None = None,
+                               chunk: int | None = None) -> jnp.ndarray:
     """Soft records + differentiable soft replay in one jit. Forward
     equals the hard megakernel image (straight-through); gradients carry
-    the soft silhouette/shadow terms."""
+    the soft silhouette/shadow terms. ``chunk`` bounds the replay's
+    working set (lax.map over record chunks) — the full-frame soft
+    replay's [N,L,S] temps otherwise exhaust a v5e at 1080p (r4b
+    session log)."""
     _, recs = trace_records(scene, o, d, cfg, bvh, soft=True)
-    return replay_radiance_soft(scene, o, d, recs, cfg)
+    if not chunk or chunk >= o.shape[0]:
+        return replay_radiance_soft(scene, o, d, recs, cfg,
+                                    live_segments=live_segments)
+    n = o.shape[0]
+    oc, dc, _, _, rc, _ = _chunk_records(o, d, None, None, recs, chunk)
+    rad = jax.lax.map(
+        lambda xs: replay_radiance_soft(scene, xs[0], xs[1], xs[2], cfg,
+                                        live_segments=live_segments),
+        (oc, dc, rc))
+    return rad.reshape(-1, 3)[:n]
 
 
 def _mse(rad, target, weights):
@@ -529,28 +576,57 @@ def _mse(rad, target, weights):
             / (jnp.sum(weights) * 3.0))
 
 
-@partial(jax.jit, static_argnames=("cfg", "live_segments"))
+@partial(jax.jit, static_argnames=("cfg", "live_segments", "chunk"))
 def soft_replay_value_and_grad(template: Scene, params, o, d, target,
                                cfg: RenderConfig, bvh, weights=None,
-                               live_segments: int | None = None):
+                               live_segments: int | None = None,
+                               chunk: int | None = None):
     """Fused SOFT fwd+bwd step at megakernel speed: min-mode records
     with the CURRENT params + pixel-MSE value_and_grad through the soft
     replay — the fast path for silhouette fitting (the composed
     remat+chunked path remains the exact-reference fallback).
     ``weights`` (optional [N]): per-lane loss weights (e.g. zero on the
-    block-raygen pad margin); loss becomes the weighted mean."""
+    block-raygen pad margin); loss becomes the weighted mean.
+    ``chunk`` (static): scan-of-vjp gradient accumulation over record
+    chunks — bounds the replay's backward working set at any frame size
+    (same pattern as fit.make_chunked_value_and_grad; grads identical
+    to the unchunked mean-MSE gradient)."""
     from unity_raytracer_tpu.fit import set_params
 
     scene_now = set_params(template, params)
     _, recs = trace_records(scene_now, o, d, cfg, bvh, soft=True)
 
-    def loss_fn(params):
-        s = set_params(template, params)
-        rad = replay_radiance_soft(s, o, d, recs, cfg,
-                                   live_segments=live_segments)
-        return _mse(rad, target, weights)
+    if not chunk or chunk >= o.shape[0]:
+        def loss_fn(params):
+            s = set_params(template, params)
+            rad = replay_radiance_soft(s, o, d, recs, cfg,
+                                       live_segments=live_segments)
+            return _mse(rad, target, weights)
 
-    return jax.value_and_grad(loss_fn)(params)
+        return jax.value_and_grad(loss_fn)(params)
+
+    oc, dc, tc, wc, rc, n_eff = _chunk_records(o, d, target, weights,
+                                               recs, chunk)
+
+    def body(carry, xs):
+        loss_sum, grad_sum = carry
+        o_i, d_i, t_i, w_i, r_i = xs
+
+        def chunk_loss(p):
+            s = set_params(template, p)
+            rad = replay_radiance_soft(s, o_i, d_i, r_i, cfg,
+                                       live_segments=live_segments)
+            return jnp.sum(((rad - t_i) ** 2) * w_i[:, None])
+
+        l_i, g_i = jax.value_and_grad(chunk_loss)(params)
+        return (loss_sum + l_i,
+                jax.tree.map(jnp.add, grad_sum, g_i)), None
+
+    zero = (jnp.zeros((), jnp.float32),
+            jax.tree.map(jnp.zeros_like, params))
+    (loss, grads), _ = jax.lax.scan(body, zero, (oc, dc, tc, wc, rc))
+    denom = n_eff * 3.0
+    return loss / denom, jax.tree.map(lambda g: g / denom, grads)
 
 
 @partial(jax.jit, static_argnames=("cfg",))
