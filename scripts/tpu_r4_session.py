@@ -246,6 +246,163 @@ def main():
         except Exception as e:
             emit(step="grad_composed", error=repr(e)[:300])
 
+    # ---- softdecomp: where do the soft fwd+bwd 657ms go? --------------
+    if "softdecomp" in STEPS:
+        from unity_raytracer_tpu.fit import get_params
+        from unity_raytracer_tpu.ops.replay import (
+            _chunk_records, live_depth, replay_radiance_soft,
+            soft_replay_value_and_grad, trace_records)
+        from unity_raytracer_tpu.utils.config import DiffConfig
+
+        cfg = cfg0.with_(bvh_leaf=56, tri_isect="bw")
+        cfg_s = cfg.with_(diff=DiffConfig(soft_shadow_temp=1.0,
+                                          soft_hit_temp=0.1,
+                                          straight_through=True))
+        packed = packed_for(56)
+        o, d = generate_rays_blocks(cam, cfg.block_size)
+        names = ("sphere_centers", "sphere_diffuse", "light_intensities")
+        params0 = get_params(scene, names)
+
+        import functools as ft
+
+        rec_hard = jax.jit(ft.partial(
+            lambda s, o_, d_: trace_records(s, o_, d_, cfg, packed)[1]))
+        c, t, recs_h = timed(lambda: rec_hard(scene, o, d), reps=3)
+        emit(step="softdecomp", part="records_hard", time_s=t,
+             compile_s=c)
+        rec_soft = jax.jit(ft.partial(
+            lambda s, o_, d_: trace_records(s, o_, d_, cfg_s, packed,
+                                            soft=True)[1]))
+        c, t, recs_s = timed(lambda: rec_soft(scene, o, d), reps=3)
+        emit(step="softdecomp", part="records_soft_minmode", time_s=t,
+             compile_s=c)
+
+        k = live_depth(recs_s)
+        recs_s = jax.block_until_ready(recs_s)
+        target = jnp.zeros_like(o)  # timing only
+
+        # replay-only chunked VG on FIXED records (no kernel pass)
+        def replay_only_vg(params, recs, chunk):
+            from unity_raytracer_tpu.fit import set_params
+            oc, dc, tc, wc, rc, n_eff = _chunk_records(
+                o, d, target, None, recs, chunk)
+
+            def body(carry, xs):
+                ls, gs = carry
+                o_i, d_i, t_i, w_i, r_i = xs
+
+                def chunk_loss(p):
+                    s = set_params(scene, p)
+                    rad = replay_radiance_soft(s, o_i, d_i, r_i, cfg_s,
+                                               live_segments=k)
+                    return jnp.sum(((rad - t_i) ** 2) * w_i[:, None])
+
+                l_i, g_i = jax.value_and_grad(chunk_loss)(params)
+                return (ls + l_i, jax.tree.map(jnp.add, gs, g_i)), None
+
+            zero = (jnp.zeros((), jnp.float32),
+                    jax.tree.map(jnp.zeros_like, params))
+            (loss, grads), _ = jax.lax.scan(body, zero,
+                                            (oc, dc, tc, wc, rc))
+            return loss / (n_eff * 3.0), grads
+
+        for ch in (1 << 18, 1 << 19, 1 << 20):
+            try:
+                f = jax.jit(ft.partial(replay_only_vg, chunk=ch))
+                c, t, _ = timed(lambda: f(params0, recs_s), reps=2)
+                emit(step="softdecomp", part=f"replay_only_vg_c{ch}",
+                     time_s=t, compile_s=c)
+            except Exception as e:
+                emit(step="softdecomp", part=f"replay_only_vg_c{ch}",
+                     error=repr(e)[:300])
+
+        # end-to-end soft VG at the bigger chunk
+        for ch in (1 << 19, 1 << 20):
+            try:
+                c, t, _ = timed(lambda: soft_replay_value_and_grad(
+                    scene, params0, o, d, target, cfg_s, packed,
+                    live_segments=k, chunk=ch), reps=2)
+                emit(step="softdecomp", part=f"soft_vg_e2e_c{ch}",
+                     time_s=t, compile_s=c,
+                     rays_per_s_fwd_bwd=ISSUED / t)
+            except Exception as e:
+                emit(step="softdecomp", part=f"soft_vg_e2e_c{ch}",
+                     error=repr(e)[:300])
+
+    # ---- profile_soft: XProf the replay-only soft VG ------------------
+    if "profile_soft" in STEPS:
+        import functools as ft
+        import glob
+        import gzip
+
+        from unity_raytracer_tpu.fit import get_params, set_params
+        from unity_raytracer_tpu.ops.replay import (
+            _chunk_records, live_depth, replay_radiance_soft,
+            trace_records)
+        from unity_raytracer_tpu.utils.config import DiffConfig
+
+        cfg = cfg0.with_(bvh_leaf=56, tri_isect="bw")
+        cfg_s = cfg.with_(diff=DiffConfig(soft_shadow_temp=1.0,
+                                          soft_hit_temp=0.1,
+                                          straight_through=True))
+        packed = packed_for(56)
+        o, d = generate_rays_blocks(cam, cfg.block_size)
+        names = ("sphere_centers", "sphere_diffuse", "light_intensities")
+        params0 = get_params(scene, names)
+        recs_s = jax.block_until_ready(jax.jit(
+            lambda: trace_records(scene, o, d, cfg_s, packed,
+                                  soft=True)[1])())
+        k = live_depth(recs_s)
+        target = jnp.zeros_like(o)
+
+        def replay_only_vg(params, recs, chunk=1 << 18):
+            oc, dc, tc, wc, rc, n_eff = _chunk_records(
+                o, d, target, None, recs, chunk)
+
+            def body(carry, xs):
+                ls, gs = carry
+                o_i, d_i, t_i, w_i, r_i = xs
+
+                def chunk_loss(p):
+                    s = set_params(scene, p)
+                    rad = replay_radiance_soft(s, o_i, d_i, r_i, cfg_s,
+                                               live_segments=k)
+                    return jnp.sum(((rad - t_i) ** 2) * w_i[:, None])
+
+                l_i, g_i = jax.value_and_grad(chunk_loss)(params)
+                return (ls + l_i, jax.tree.map(jnp.add, gs, g_i)), None
+
+            zero = (jnp.zeros((), jnp.float32),
+                    jax.tree.map(jnp.zeros_like, params))
+            (loss, grads), _ = jax.lax.scan(body, zero,
+                                            (oc, dc, tc, wc, rc))
+            return loss / (n_eff * 3.0), grads
+
+        f = jax.jit(replay_only_vg)
+        c, t, _ = timed(lambda: f(params0, recs_s), reps=2)
+        emit(step="profile_soft_warmup", time_s=t, compile_s=c)
+        tdir = "/tmp/xprof_soft"
+        os.makedirs(tdir, exist_ok=True)
+        with jax.profiler.trace(tdir):
+            out = f(params0, recs_s)
+            probe(out)
+        # in-session summary: top device ops by total duration
+        try:
+            import collections
+            paths = glob.glob(tdir + "/**/*.trace.json.gz",
+                              recursive=True)
+            dd = json.load(gzip.open(paths[0], "rt"))
+            evs = dd["traceEvents"] if isinstance(dd, dict) else dd
+            durs = collections.Counter()
+            for e in evs:
+                if e.get("ph") == "X" and "dur" in e:
+                    durs[e.get("name", "?")] += e["dur"]
+            top = [[n[:120], round(us / 1e3, 2)]
+                   for n, us in durs.most_common(30)]
+            emit(step="profile_soft", top_ms=top, trace=paths[0])
+        except Exception as e:
+            emit(step="profile_soft", error=repr(e)[:300])
+
     # ---- fit512: FIT_r04 artifact on the soft-replay step -------------
     if "fit512" in STEPS:
         from unity_raytracer_tpu.fit import FitConfig, fit, get_params
@@ -330,14 +487,15 @@ def main():
         if topo is not None:
             try:
                 devs = np.array(list(topo.devices))
-                mesh = Mesh(devs.reshape(-1), ("rays",))
+                # axis names must match parallel.shard.RAY_AXIS ('dp')
+                mesh = Mesh(devs.reshape(-1, 1), ("dp", "tp"))
                 s3, cam3, cfg3 = three_spheres(width=64, height=64)
                 cfg3 = resolve_mode(s3, cfg3)
                 names = ("sphere_centers", "sphere_diffuse")
                 params_c = get_params(s3, names)
                 tx = optax.adam(1e-2)
                 n = 64 * 64
-                sh_r = NamedSharding(mesh, P("rays"))
+                sh_r = NamedSharding(mesh, P("dp"))
                 sh_rep = NamedSharding(mesh, P())
                 params_a = {
                     k: jax.ShapeDtypeStruct(np.shape(v), jnp.float32,

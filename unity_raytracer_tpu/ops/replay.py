@@ -331,7 +331,13 @@ def _soft_lighting(scene: Scene, p, n, v, mats: Materials,
     of shade.direct_lighting at ``soft_shadow_temp > 0`` without any
     traversal. ``st_rec [N,L]`` is the min-mode record (_BIG when
     unoccluded); sphere/loose occluders are re-derived so their
-    silhouette gradients flow; the mesh branch is a frozen constant."""
+    silhouette gradients flow; the mesh branch is a frozen constant.
+
+    Every temporary is [N]- or [N,3]-shaped (static unroll over lights /
+    spheres / loose tris): a first [N,L,S]-vectorized form spent ~100ms
+    per step in L-major broadcast/reshape traffic on v5e (xprof_soft
+    trace, r4e session) — rank-3 intermediates tile poorly on TPU.
+    """
     from unity_raytracer_tpu.ops import intersect as isect
     from unity_raytracer_tpu.ops.shade import _soft_or_hard_vis
 
@@ -341,76 +347,75 @@ def _soft_lighting(scene: Scene, p, n, v, mats: Materials,
     L = scene.lights.positions.shape[0]
     if L == 0:
         return color
-
-    lvec = scene.lights.positions[None, :, :] - p[:, None, :]   # [N,L,3]
-    ldist_sq = jnp.sum(lvec * lvec, axis=-1)
-    ldir = lvec * jax.lax.rsqrt(jnp.maximum(ldist_sq, 1e-60))[..., None]
-    ln = jnp.sum(ldir * n[:, None, :], axis=-1)                 # [N,L]
     so = p + n * SHADOW_EPS
-
     big = jnp.float32(3.0e38)
-    st_jnp = jnp.full(ldist_sq.shape, big)
     S = scene.spheres.count
-    if S:
-        oc = so[:, None, None, :] - scene.spheres.centers[None, None]
-        uoc = jnp.sum(ldir[:, :, None, :] * oc, axis=-1)        # [N,L,S]
-        oc2 = jnp.sum(oc * oc, axis=-1)
-        disc = uoc * uoc - (oc2 - scene.spheres.radius_sq[None, None])
-        pos = disc > 0.0
-        # double-where: masked lanes get zero subgradient, not sqrt'(0)
-        sq = jnp.where(pos, jnp.sqrt(jnp.where(pos, disc, 1.0)), 0.0)
-        bigroot = -uoc + sq
-        small = -uoc - sq
-        t_s = jnp.where(small < 0.0, bigroot, small)
-        ok = (disc >= 0.0) & (bigroot >= 0.0) \
-            & scene.spheres.valid[None, None]
-        st_jnp = jnp.minimum(st_jnp,
-                             jnp.min(jnp.where(ok, t_s, big), axis=-1))
     T = scene.triangles.count
-    if T:
-        so_f = jnp.broadcast_to(so[:, None, :], ldir.shape).reshape(-1, 3)
-        d_f = ldir.reshape(-1, 3)
-        for ti in range(T):
-            tv = scene.triangles.verts[ti]
-            tt = _mt_one(so_f, d_f, tv[0][None], tv[1][None],
-                         tv[2][None])
-            tt = jnp.where(jnp.isfinite(tt) & scene.triangles.valid[ti],
-                           tt, big)
-            st_jnp = jnp.minimum(st_jnp, tt.reshape(ldist_sq.shape))
-    # scene-AABB gate (shadow_min_t inherits IntersectRay's early-out)
-    in_box = isect.ray_aabb(so[:, None, :], ldir,
-                            scene.aabb_min, scene.aabb_max)
-    st_jnp = jnp.where(in_box, st_jnp, big)
-    # min with the frozen mesh record; <= keeps the DIFFERENTIABLE
-    # branch at exact ties (jnp.minimum would route the gradient to the
-    # frozen side)
-    st = jnp.where(st_jnp <= st_rec, st_jnp,
-                   jax.lax.stop_gradient(st_rec))
-    occ = (st * st) < ldist_sq
-    vis = _soft_or_hard_vis(~occ, st * st - ldist_sq, temp, stt)
-
-    irr = scene.lights.intensities[None] \
-        / jnp.maximum(ldist_sq, 1e-60)[..., None]
-    diffuse = (mats.diffuse[:, None, :]
-               * jnp.maximum(0.0, ln)[..., None] * irr)
-    hv = ldir + v[:, None, :]
-    hv = hv / jnp.maximum(jnp.linalg.norm(hv, axis=-1, keepdims=True),
-                          1e-30)
-    nh = jnp.maximum(0.0, jnp.sum(n[:, None, :] * hv, axis=-1))
-    spec = (mats.specular[:, None, :]
-            * (nh ** mats.phong[:, None])[..., None] * irr
-            * (ln >= 0.0).astype(jnp.float32)[..., None])
-    lvalid = scene.lights.valid[None, :, None].astype(jnp.float32)
     if cfg.light_cull > 0.0:
         kdks = (jnp.max(mats.diffuse, axis=-1)
                 + jnp.max(mats.specular, axis=-1))
-        imax = jnp.max(scene.lights.intensities, axis=-1)
-        keep = (kdks[:, None] * imax[None, :]
-                >= cfg.light_cull * ldist_sq)
-        lvalid = lvalid * jax.lax.stop_gradient(keep)[..., None] \
-            .astype(jnp.float32)
-    return color + jnp.sum((diffuse + spec) * vis[..., None] * lvalid,
-                           axis=1)
+
+    acc = color
+    for l in range(L):
+        lp = scene.lights.positions[l]
+        lint = scene.lights.intensities[l]                      # [3]
+        lvec = lp[None, :] - p                                  # [N,3]
+        ld2 = jnp.sum(lvec * lvec, axis=-1)
+        linv = jax.lax.rsqrt(jnp.maximum(ld2, 1e-60))
+        ldir = lvec * linv[:, None]
+        ln = jnp.sum(ldir * n, axis=-1)
+
+        st = jnp.full_like(ld2, big)
+        for s in range(S):
+            oc = so - scene.spheres.centers[s][None, :]
+            uoc = jnp.sum(ldir * oc, axis=-1)
+            oc2 = jnp.sum(oc * oc, axis=-1)
+            disc = uoc * uoc - (oc2 - scene.spheres.radius_sq[s])
+            pos = disc > 0.0
+            # double-where: masked lanes get a zero subgradient
+            sq = jnp.where(pos, jnp.sqrt(jnp.where(pos, disc, 1.0)),
+                           0.0)
+            bigroot = -uoc + sq
+            small = -uoc - sq
+            t_s = jnp.where(small < 0.0, bigroot, small)
+            ok = ((disc >= 0.0) & (bigroot >= 0.0)
+                  & scene.spheres.valid[s])
+            st = jnp.minimum(st, jnp.where(ok, t_s, big))
+        for ti in range(T):
+            tv = scene.triangles.verts[ti]
+            tt = _mt_one(so, ldir, tv[0][None], tv[1][None],
+                         tv[2][None])
+            tt = jnp.where(jnp.isfinite(tt) & scene.triangles.valid[ti],
+                           tt, big)
+            st = jnp.minimum(st, tt)
+        # scene-AABB gate (shadow_min_t inherits IntersectRay's early-out)
+        in_box = isect.ray_aabb(so, ldir, scene.aabb_min[None, :],
+                                scene.aabb_max[None, :])
+        st = jnp.where(in_box, st, big)
+        # min with the frozen mesh record; <= keeps the DIFFERENTIABLE
+        # branch at exact ties
+        stl = st_rec[:, l]
+        st = jnp.where(st <= stl, st, jax.lax.stop_gradient(stl))
+        occ = (st * st) < ld2
+        vis = _soft_or_hard_vis(~occ, st * st - ld2, temp, stt)
+
+        irr_s = 1.0 / jnp.maximum(ld2, 1e-60)                   # [N]
+        dterm = jnp.maximum(0.0, ln) * irr_s * vis
+        hv = ldir + v
+        hv = hv * jax.lax.rsqrt(jnp.maximum(
+            jnp.sum(hv * hv, axis=-1, keepdims=True), 1e-60))
+        nh = jnp.maximum(0.0, jnp.sum(n * hv, axis=-1))
+        sterm = ((nh ** mats.phong) * (ln >= 0.0).astype(jnp.float32)
+                 * irr_s * vis)
+        keepf = scene.lights.valid[l].astype(jnp.float32)
+        if cfg.light_cull > 0.0:
+            keepf = keepf * jax.lax.stop_gradient(
+                kdks * jnp.max(lint) >= cfg.light_cull * ld2
+            ).astype(jnp.float32)
+        acc = acc + (mats.diffuse * (dterm * keepf)[:, None]
+                     + mats.specular * (sterm * keepf)[:, None]
+                     ) * lint[None, :]
+    return acc
 
 
 def replay_radiance_soft(scene: Scene, o: jnp.ndarray, d: jnp.ndarray,
@@ -434,8 +439,6 @@ def replay_radiance_soft(scene: Scene, o: jnp.ndarray, d: jnp.ndarray,
       their shadow rays — the hard forward never queried them; their
       sphere/loose occlusion is recomputed exactly.
     """
-    from unity_raytracer_tpu.ops.intersect import sphere_margins
-
     rt_all, rn_all, rmat_all, _, rst_all = records
     B = rt_all.shape[0]
     S = scene.spheres.count
@@ -458,26 +461,45 @@ def replay_radiance_soft(scene: Scene, o: jnp.ndarray, d: jnp.ndarray,
         comb2 = comb
         if ht > 0.0 and S:
             # sphere silhouette relaxation — the proxy-adoption and
-            # margin-blend logic of render._local_radiance, from the
-            # sphere table alone (cheap [N,S] jnp)
-            margin_mat, t_close_mat = sphere_margins(scene, o, d)
-            j = jnp.argmax(margin_mat, axis=1).astype(jnp.int32)
-            take1 = lambda m: jnp.take_along_axis(m, j[:, None],
-                                                  axis=1)[:, 0]
-            use_proxy = live & ~hit & jnp.isfinite(take1(margin_mat))
-            t_prox = take1(t_close_mat)
-            c_prox = take_rows(scene.spheres.centers, j)
+            # margin-blend logic of render._local_radiance, computed as
+            # a running argmax over the (small, unrolled) sphere table
+            # in [N]-shaped temps. NO per-lane take_along_axis: six such
+            # gathers measured 3.6ms/chunk EACH on v5e — 30% of the
+            # whole soft step (xprof_soft trace, r4e session).
+            margs = []
+            m_best = jnp.full((n_rays,), -jnp.inf)
+            j_best = jnp.zeros((n_rays,), jnp.int32)
+            t_prox = jnp.full((n_rays,), 1e-3)
+            for si in range(S):
+                oc = o - scene.spheres.centers[si][None, :]
+                uoc = jnp.sum(d * oc, axis=-1)
+                oc2 = jnp.sum(oc * oc, axis=-1)
+                r2s = scene.spheres.radius_sq[si]
+                disc = uoc * uoc - (oc2 - r2s)
+                marg = disc / jnp.maximum(r2s, 1e-12)
+                ok = ((-uoc) > 0.0) & scene.spheres.valid[si]
+                marg = jnp.where(ok, marg, -jnp.inf)
+                margs.append(marg)
+                better = marg > m_best   # first max wins ties (argmax)
+                m_best = jnp.where(better, marg, m_best)
+                j_best = jnp.where(better, si, j_best)
+                t_prox = jnp.where(better, jnp.maximum(-uoc, 1e-3),
+                                   t_prox)
+            use_proxy = live & ~hit & jnp.isfinite(m_best)
+            c_prox = take_rows(scene.spheres.centers, j_best)
             p = sel3(use_proxy, o + d * t_prox[:, None], p)
             n_prox = p - c_prox
             n_prox = n_prox * jax.lax.rsqrt(jnp.maximum(
                 jnp.sum(n_prox * n_prox, axis=-1, keepdims=True), 1e-60))
             n = sel3(use_proxy, n_prox, n)
-            comb2 = jnp.where(use_proxy, j, comb)
+            comb2 = jnp.where(use_proxy, j_best, comb)
             shade_mask = hit | use_proxy
             win_sphere = hit & (comb_f >= 0.0) & (comb_f < S)
-            sel_idx = jnp.where(win_sphere, jnp.clip(comb, 0, S - 1), j)
-            own = jnp.take_along_axis(margin_mat, sel_idx[:, None],
-                                      axis=1)[:, 0]
+            sel_idx = jnp.where(win_sphere, jnp.clip(comb, 0, S - 1),
+                                j_best)
+            own = margs[0]
+            for si in range(1, S):
+                own = jnp.where(sel_idx == si, margs[si], own)
             margin_sel = jnp.where(win_sphere | use_proxy, own, jnp.inf)
             w_soft = jax.nn.sigmoid(jnp.clip(margin_sel / ht,
                                              -30.0, 30.0))
