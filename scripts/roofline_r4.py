@@ -205,7 +205,7 @@ def main():
         return out
 
     results = {}
-    for leaf in (42, 56, 70):
+    for leaf in (56, 98):
         t0 = time.time()
         packed = build_packed(scene, cfg0, leaf)
         wk = WideWalker(packed)

@@ -172,6 +172,52 @@ def main():
             except Exception as e:
                 emit(step="sweep", variant=name, error=repr(e)[:300])
 
+    # ---- fatleaf: BW shifted the leaf-size economics — sweep upward ---
+    if "fatleaf" in STEPS:
+        for leaf in (70, 84, 98, 112):
+            try:
+                cfg = cfg0.with_(bvh_leaf=leaf, tri_isect="bw")
+                packed = packed_for(leaf)
+                c, t, img = timed(
+                    lambda: render_frame(scene, cam, cfg, bvh=packed))
+                emit(step="fatleaf", leaf=leaf, compile_s=c, frame_s=t,
+                     rays_per_s=ISSUED / t,
+                     img_probe=float(jnp.mean(img)))
+            except Exception as e:
+                emit(step="fatleaf", leaf=leaf, error=repr(e)[:300])
+        # tile_r re-check under bw (the 2048-vs-1024 trade may shift too)
+        for tile in (1024, 2048):
+            try:
+                cfg = cfg0.with_(bvh_leaf=70, tri_isect="bw",
+                                 tile_r=tile)
+                packed = packed_for(70)
+                c, t, img = timed(
+                    lambda: render_frame(scene, cam, cfg, bvh=packed))
+                emit(step="fatleaf", leaf=70, tile_r=tile, compile_s=c,
+                     frame_s=t, rays_per_s=ISSUED / t)
+            except Exception as e:
+                emit(step="fatleaf", tile_r=tile, error=repr(e)[:300])
+
+    # ---- gate: leaf row-AABB sub-gating A/B ---------------------------
+    if "gate" in STEPS:
+        packed = packed_for(56)
+        for name, kw in [
+            ("bw_ref", dict(bvh_leaf=56, tri_isect="bw")),
+            ("bw_gate", dict(bvh_leaf=56, tri_isect="bw",
+                             leaf_gate=True)),
+            ("bw_gate_cull4", dict(bvh_leaf=56, tri_isect="bw",
+                                   leaf_gate=True, light_cull=4.0)),
+        ]:
+            try:
+                cfg = cfg0.with_(**kw)
+                c, t, img = timed(
+                    lambda: render_frame(scene, cam, cfg, bvh=packed))
+                emit(step="gate", variant=name, compile_s=c, frame_s=t,
+                     rays_per_s=ISSUED / t,
+                     img_probe=float(jnp.mean(img)))
+            except Exception as e:
+                emit(step="gate", variant=name, error=repr(e)[:300])
+
     # ---- grad: fwd+bwd at the best sweep config -----------------------
     if "grad" in STEPS:
         from unity_raytracer_tpu.fit import (get_params,
@@ -183,12 +229,17 @@ def main():
             trace_radiance_replay_soft, trace_records)
         from unity_raytracer_tpu.utils.config import DiffConfig
 
-        # headline fwd+bwd at the EXACT-mode best config (bw leaves, no
-        # cull); a cull-4 variant is timed separately below
-        kw = dict(bvh_leaf=56, tri_isect="bw")
+        # headline fwd+bwd at the EXACT-mode preset defaults (bw leaves,
+        # no cull); a cull-4 variant is timed separately below
+        kw = dict(bvh_leaf=cfg0.bvh_leaf, tri_isect=cfg0.tri_isect)
         cfg = cfg0.with_(**kw)
-        packed = packed_for(kw.get("bvh_leaf", 56))
+        packed = packed_for(kw["bvh_leaf"])
         emit(step="grad_config", **kw)
+        # preset-default forward, for the same-session reference
+        c, t, img = timed(lambda: render_frame(scene, cam, cfg,
+                                               bvh=packed))
+        emit(step="grad_fwd_ref", compile_s=c, frame_s=t,
+             rays_per_s=ISSUED / t)
 
         names = ("sphere_centers", "sphere_diffuse", "light_intensities")
         params0 = get_params(scene, names)

@@ -135,11 +135,14 @@ def test_mega_depth0_background(small_scene):
 
 
 def test_mega_shipped_flagship_knobs(small_scene):
-    """Depth-2 mirror-chain parity on EXACTLY the shipped flagship knob
-    set (models/presets.py mesh_scene defaults): per-light shadow walks
-    (fuse_shadows=False), 56-tri 4-row leaves, walk_unroll=2,
+    """Depth-2 mirror-chain parity on the shipped flagship knob set
+    (models/presets.py mesh_scene defaults): per-light shadow walks
+    (fuse_shadows=False), multi-row leaves, walk_unroll=2,
     occ_mode='sort'. CI fails if the shipped configuration regresses
-    (VERDICT r3 next-step #6); tile_r scaled down to the test frame."""
+    (VERDICT r3 next-step #6). tile_r is scaled to the test frame and
+    bvh_leaf to 56 (4 rows): the shipped 98-tri 7-row leaves run the
+    IDENTICAL code path with a bigger static unroll, which the Pallas
+    interpreter cannot execute in CI time (>10 min; measured)."""
     scene, cam = small_scene
     cfg = RenderConfig(max_bounces=2, background=(0.04, 0.05, 0.07),
                        use_bvh=True, mode="scan", block_size=16,
@@ -212,3 +215,4 @@ def test_mega_bw_isect_parity(small_scene):
                               fuse_shadows=True),
         bvh=packed))
     np.testing.assert_allclose(img_bw_f, img_ref, rtol=5e-4, atol=5e-4)
+

@@ -188,13 +188,19 @@ def mesh_scene(n_tris: int = 10240, width: int = 1024, height: int = 1024,
     # leaf_size x L triangle tests each, so per-light walks win at fat
     # leaves (the r2 conclusion held only for 14-tri leaves).
     # r4: tri_isect='bw' (Baldwin-Weber precomputed leaf records) is the
-    # measured default — 86.6ms vs 98.2ms mt, bit-identical image probe
-    # (docs/measurements/tpu_r4.jsonl sweep). light_cull stays 0 (exact);
-    # light_cull=4.0 is the measured bounded-error perf mode (62.5ms,
-    # mean-radiance drift 0.26%).
+    # measured default — 86.6ms vs 98.2ms mt at leaf 56, bit-identical
+    # image probe (docs/measurements/tpu_r4.jsonl sweep); the cheaper
+    # test shifts the leaf optimum up: 98-tri 7-row leaves measured
+    # 83.9ms / 494M (flat 98-112; tpu_r4h.jsonl fatleaf). light_cull
+    # stays 0 (exact); light_cull=4.0 is the measured bounded-error perf
+    # mode (62.5ms, mean-radiance drift 0.26%).
+    # fat leaves only pay off on big meshes; small test/dryrun scenes
+    # keep 14-tri leaves (the Pallas INTERPRETER executes the full
+    # static leaf unroll per visit — 98 slots would be minutes of CI)
     cfg = RenderConfig(max_bounces=4, background=(0.04, 0.05, 0.07),
                        use_bvh=use_bvh, tile_r=2048, walk_unroll=2,
-                       bvh_leaf=56, fuse_shadows=False, tri_isect="bw")
+                       bvh_leaf=98 if n_tris >= 10_000 else 14,
+                       fuse_shadows=False, tri_isect="bw")
     return scene, cam, cfg
 
 
