@@ -186,3 +186,18 @@ def test_soft_replay_chunked_matches_unchunked(shadowed):
         np.testing.assert_allclose(np.asarray(g1[kk]),
                                    np.asarray(g0[kk]),
                                    rtol=1e-4, atol=1e-7, err_msg=kk)
+
+
+def test_soft_forward_with_light_cull_matches_mega(shadowed):
+    """light_cull under the SOFT record path: the culled min-mode
+    records plus the replay's own cull gate must reproduce the culled
+    hard megakernel image exactly (straight-through forward)."""
+    scene, cam = shadowed
+    cfg = CFG.with_(kernel="mega", light_cull=2.0)
+    packed = bvhmod.prepare_bvh(scene, cfg)
+    o, d = _rays(cam)
+    hard = np.asarray(trace_radiance(
+        scene, o, d, cfg.with_(diff=DiffConfig()), bvh=packed))
+    soft = np.asarray(rp.trace_radiance_replay_soft(
+        scene, o, d, cfg, packed))
+    np.testing.assert_allclose(soft, hard, rtol=2e-4, atol=2e-4)
