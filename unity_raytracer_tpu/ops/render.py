@@ -333,17 +333,24 @@ def _trace_tree(scene: Scene, o: jnp.ndarray, d: jnp.ndarray,
                     live, jnp.sum(jnp.abs(weight), axis=-1), -1.0)
                 # truncation is silent accuracy loss when it actually
                 # fires (live weighted lanes beyond the cap are dropped
-                # weakest-first) — make that detectable (advisor r3)
-                n_dropped = jnp.maximum(
-                    jnp.sum(live.astype(jnp.int32)) - cap, 0)
-                jax.lax.cond(
-                    n_dropped > 0,
-                    lambda k: jax.debug.print(
-                        "unity_raytracer_tpu: tree_cap={c} truncated {k} "
-                        "live refraction lanes at level {l} (raise "
-                        "cfg.tree_cap for exactness)", c=cfg.tree_cap,
-                        k=k, l=level),
-                    lambda k: None, n_dropped)
+                # weakest-first) — make that detectable (advisor r3).
+                # jax.debug.print lowers to a host callback, which the
+                # remote-TPU (axon) backend rejects OUTRIGHT (the whole
+                # render fails to compile, caught on-chip in r4) — emit
+                # the warning only on the CPU backend, where CI runs and
+                # callbacks always exist; the gate is a trace-time
+                # constant.
+                if jax.default_backend() == "cpu":
+                    n_dropped = jnp.maximum(
+                        jnp.sum(live.astype(jnp.int32)) - cap, 0)
+                    jax.lax.cond(
+                        n_dropped > 0,
+                        lambda k: jax.debug.print(
+                            "unity_raytracer_tpu: tree_cap={c} truncated "
+                            "{k} live refraction lanes at level {l} "
+                            "(raise cfg.tree_cap for exactness)",
+                            c=cfg.tree_cap, k=k, l=level),
+                        lambda k: None, n_dropped)
                 order = jnp.argsort(-score)[:cap]
                 o = jnp.take(o, order, axis=0)
                 d = jnp.take(d, order, axis=0)
