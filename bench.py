@@ -307,6 +307,8 @@ def run_once(name="mesh100k", width=None, height=None, repeats=3,
     frac_compute = (fwd / compute_bound) if compute_bound else None
     frac_compute_fb = ((fwd_bwd / compute_bound)
                        if compute_bound and fwd_bwd else None)
+    frac_compute_soft = ((fwd_bwd_soft / compute_bound)
+                         if compute_bound and fwd_bwd_soft else None)
 
     return {
         "preset": name,
@@ -334,6 +336,7 @@ def run_once(name="mesh100k", width=None, height=None, repeats=3,
         "hbm_bound_rays_per_s": roof["hbm_bound_rays_per_s"],
         "fraction_of_compute_roofline": frac_compute,
         "fraction_of_compute_roofline_fwd_bwd": frac_compute_fb,
+        "fraction_of_compute_roofline_fwd_bwd_soft": frac_compute_soft,
         "compute_bound_rays_per_s": compute_bound,
         "compute_model_gflop_frame": model_gflop,
         "device": str(jax.devices()[0]),
@@ -467,6 +470,8 @@ def main():
         "fraction_of_compute_roofline": r["fraction_of_compute_roofline"],
         "fraction_of_compute_roofline_fwd_bwd":
             r["fraction_of_compute_roofline_fwd_bwd"],
+        "fraction_of_compute_roofline_fwd_bwd_soft":
+            r["fraction_of_compute_roofline_fwd_bwd_soft"],
         "kernel": r["kernel"],
     }
     print(json.dumps(out))

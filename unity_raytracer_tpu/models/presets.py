@@ -137,7 +137,13 @@ def cornell_box(width: int = 512, height: int = 512) -> Preset:
     cam = Camera.make(position=(0, s, -13.0), forward=(0, 0, 1), up=(0, 1, 0),
                       dist=1.0, half_h=0.42, half_v=0.42 * height / width,
                       width=width, height=height)
-    cfg = RenderConfig(max_bounces=4, background=(0, 0, 0))
+    # tree_cap=2: this scene's live dielectric lanes never exceed 2x the
+    # primary count, so the cap is lossless (image identical to cap 4/8/
+    # uncapped at full precision, measured on v5e) and the per-level
+    # lane arrays halve: 473ms -> 312ms at 512^2/d4 (/tmp cornell A/B,
+    # r4). Uncapped (0) is SLOWER (649ms) — dead-fork compaction pays
+    # for its sort here.
+    cfg = RenderConfig(max_bounces=4, background=(0, 0, 0), tree_cap=2)
     return scene, cam, cfg
 
 
