@@ -199,7 +199,10 @@ def _best(t: jnp.ndarray) -> Tuple[jnp.ndarray, jnp.ndarray]:
     matches the reference's strict-``>`` update keeping the earliest of
     equals (Scene.cs:72-81)."""
     idx = jnp.argmin(t, axis=1).astype(jnp.int32)
-    tmin = jnp.take_along_axis(t, idx[:, None], axis=1)[:, 0]
+    # t[argmin] IS the min — jnp.min is a reduction; the take_along_axis
+    # it replaces lowered to a per-lane gather costing ~16ms per [524k,
+    # 10] call on v5e (cornell xprof, r4)
+    tmin = jnp.min(t, axis=1)
     return tmin, idx
 
 

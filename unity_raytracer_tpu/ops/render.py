@@ -352,11 +352,22 @@ def _trace_tree(scene: Scene, o: jnp.ndarray, d: jnp.ndarray,
                             c=cfg.tree_cap, k=k, l=level),
                         lambda k: None, n_dropped)
                 order = jnp.argsort(-score)[:cap]
-                o = jnp.take(o, order, axis=0)
-                d = jnp.take(d, order, axis=0)
-                weight = jnp.take(weight, order, axis=0)
-                parent = jnp.take(parent, order, axis=0)
-                live = jnp.take(live, order, axis=0)
+                # ONE gather of the packed per-lane state instead of
+                # five: TPU row-gather cost scales with row COUNT, not
+                # row width (cornell xprof, r4 — the five takes were
+                # ~85ms/frame, the dominant tree-path cost)
+                state = jnp.concatenate(
+                    [o, d, weight,
+                     jax.lax.bitcast_convert_type(
+                         parent, jnp.float32)[:, None],
+                     live.astype(jnp.float32)[:, None]], axis=1)
+                sel = jnp.take(state, order, axis=0)
+                o = sel[:, 0:3]
+                d = sel[:, 3:6]
+                weight = sel[:, 6:9]
+                parent = jax.lax.bitcast_convert_type(sel[:, 9],
+                                                      jnp.int32)
+                live = sel[:, 10] > 0.5
         else:
             o, d = ro, rd_safe
             weight = weight * w_refl
