@@ -378,7 +378,8 @@ def nearest_mesh_hit_ring(scene: Scene, o: jnp.ndarray, d: jnp.ndarray,
             verts, valid, shard_id, best_t, best_i = carry
             t = isect.ray_triangles(o_, d_, verts, valid)
             i_loc = jnp.argmin(t, axis=1).astype(jnp.int32)
-            t_loc = jnp.take_along_axis(t, i_loc[:, None], axis=1)[:, 0]
+            # t[argmin] IS the min — reduction, not a per-lane gather
+            t_loc = jnp.min(t, axis=1)
             gl = i_loc + shard_id * rows
             upd = t_loc < best_t
             best_t = jnp.where(upd, t_loc, best_t)
@@ -432,7 +433,8 @@ def nearest_hit_ring(scene: Scene, o: jnp.ndarray, d: jnp.ndarray,
             best_t, best_i, best_mid, best_n = best
             t = isect.ray_triangles(o_, d_, verts, valid)
             i_loc = jnp.argmin(t, axis=1).astype(jnp.int32)
-            t_loc = jnp.take_along_axis(t, i_loc[:, None], axis=1)[:, 0]
+            # t[argmin] IS the min — reduction, not a per-lane gather
+            t_loc = jnp.min(t, axis=1)
             upd = t_loc < best_t
             best_t = jnp.where(upd, t_loc, best_t)
             best_i = jnp.where(upd, i_loc + shard_id * rows, best_i)
