@@ -33,8 +33,15 @@ Gradient semantics = the composed path at ``soft_*_temp == 0`` exactly
   for every optimizable parameter class in fit.PARAM_PATHS (none of
   which moves mesh vertices), zero-gradient w.r.t. the mesh itself;
 * visibility (hit/shadow bits): frozen — identical to the hard forward
-  whose gradient is zero/straight-through anyway. Soft silhouette
-  fitting (temps > 0) stays on the composed path (fit.py).
+  whose gradient is zero/straight-through anyway.
+
+Soft silhouette fitting (temps > 0) has its own fast path since r4:
+``trace_records(soft=True)`` records per-light MIN occluder distances
+(min-mode shadow walks) and ``replay_radiance_soft`` rebuilds the
+composed soft semantics differentiably — sphere silhouettes and
+sphere/loose soft shadows exact, mesh facts frozen (see its
+docstring). The composed path (fit.py chunked/remat) remains the
+exact-reference fallback.
 
 Reference semantics mirrored: shading terms RayTracingSetup.cs:324-455,
 Intensity/d^2 falloff :350, mirror continuation :358-373, 0-255 Rgb
@@ -56,8 +63,10 @@ from unity_raytracer_tpu.ops.bvh import _mt_one
 from unity_raytracer_tpu.ops.shade import SHADOW_EPS, take_rows
 from unity_raytracer_tpu.utils.config import RenderConfig
 
-# records tuple per segment: (t [N], n [N,3], matid [N], occbits [N])
-Records = Tuple[jnp.ndarray, jnp.ndarray, jnp.ndarray, jnp.ndarray]
+# records tuple, each stacked over segments (leading dim B):
+#   hard: (t [B,N], n [B,N,3], matid [B,N], occbits [B,N])
+#   soft (trace_records(soft=True)): + (st [B,N,L] min occluder t)
+Records = Tuple[jnp.ndarray, ...]
 
 
 def combined_materials(scene: Scene) -> Materials:
