@@ -57,25 +57,48 @@ def _local_radiance(scene: Scene, o, d, cfg: RenderConfig,
         # proxy hit on their best near-miss sphere (shaded at the closest-
         # approach point) so the soft blend weight has a sensible color to
         # blend toward; forward values stay exactly hard via straight-through.
-        from unity_raytracer_tpu.ops.intersect import (
-            KIND_SPHERE, sphere_margins)
-        margin_mat, t_close_mat = sphere_margins(scene, o, d)
-        j = jnp.argmax(margin_mat, axis=1).astype(jnp.int32)
-        take = lambda m: jnp.take_along_axis(m, j[:, None], axis=1)[:, 0]
-        m_best = take(margin_mat)
+        # Computed as a running argmax over the (small, unrolled) sphere
+        # table in [N]-shaped temps — the take_along_axis form this
+        # replaces lowered to per-lane gathers costing ~16ms per call at
+        # 524k lanes on v5e (cornell/soft-replay xprof traces, r4).
+        from unity_raytracer_tpu.ops.intersect import KIND_SPHERE
+        S = scene.spheres.count
+        margs = []
+        m_best = jnp.full(hit_mask.shape, -jnp.inf)
+        j_best = jnp.zeros(hit_mask.shape, jnp.int32)
+        t_close_best = jnp.full(hit_mask.shape, 1e-3)
+        for si in range(S):
+            oc = o - scene.spheres.centers[si][None, :]
+            uoc = jnp.sum(d * oc, axis=-1)
+            oc2 = jnp.sum(oc * oc, axis=-1)
+            r2s = scene.spheres.radius_sq[si]
+            disc = uoc * uoc - (oc2 - r2s)
+            marg = disc / jnp.maximum(r2s, 1e-12)
+            okm = ((-uoc) > 0.0) & scene.spheres.valid[si]
+            marg = jnp.where(okm, marg, -jnp.inf)
+            margs.append(marg)
+            better = marg > m_best   # first max wins ties (== argmax)
+            m_best = jnp.where(better, marg, m_best)
+            j_best = jnp.where(better, si, j_best)
+            t_close_best = jnp.where(better, jnp.maximum(-uoc, 1e-3),
+                                     t_close_best)
         proxy_ok = jnp.isfinite(m_best)
         use_proxy = ~hit_mask & proxy_ok
         hit = Hit(
-            t=jnp.where(use_proxy, take(t_close_mat), hit.t),
+            t=jnp.where(use_proxy, t_close_best, hit.t),
             kind=jnp.where(use_proxy, KIND_SPHERE, hit.kind),
-            index=jnp.where(use_proxy, j, hit.index),
+            index=jnp.where(use_proxy, j_best, hit.index),
             mesh_index=hit.mesh_index, mesh_n=hit.mesh_n)
         shade_mask = hit_mask | use_proxy
         # winner margin: sphere hits use their own margin (relaxes the
         # sphere's own silhouette); non-sphere hits stay hard (+inf)
         win_sphere = hit_mask & (hit.kind == KIND_SPHERE)
-        own = jnp.take_along_axis(
-            margin_mat, jnp.clip(hit.index, 0, None)[:, None], axis=1)[:, 0]
+        sel_idx = jnp.where(win_sphere,
+                            jnp.clip(hit.index, 0, max(S - 1, 0)),
+                            j_best)
+        own = margs[0] if S else jnp.full(hit_mask.shape, -jnp.inf)
+        for si in range(1, S):
+            own = jnp.where(sel_idx == si, margs[si], own)
         margin_sel = jnp.where(win_sphere | use_proxy, own, jnp.inf)
         w_soft = jax.nn.sigmoid(
             jnp.clip(margin_sel / soft_temp, -30.0, 30.0))
