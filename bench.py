@@ -157,6 +157,24 @@ def run_once(name="mesh100k", width=None, height=None, repeats=3,
     issued = count_rays(cfg.max_bounces, cam.width, cam.height, n_lights)
     fwd = issued / frame_s
 
+    # ---- tree-mode truncation audit (advisor r4: the tree_cap drop is
+    # silent accuracy loss; the remote-TPU backend rejects the host-
+    # callback warning, so surface it as a plain array output here) -----
+    tree_truncated = None
+    if cfg.mode == "tree":
+        def _trunc():
+            from unity_raytracer_tpu.ops.render import (
+                trace_radiance_tree_stats)
+            o, d = generate_rays_blocks(cam, cfg.block_size)
+            _, n_tr = jax.block_until_ready(trace_radiance_tree_stats(
+                scene, o, d, cfg, bvh=bvh))
+            return int(np.asarray(n_tr))
+        tree_truncated = _with_timeout(_trunc, 420, "tree-cap audit")
+        if tree_truncated:
+            print(f"[bench] WARNING: tree_cap={cfg.tree_cap} truncated "
+                  f"{tree_truncated} live lanes (accuracy loss — raise "
+                  f"tree_cap)", file=sys.stderr)
+
     # ---- live-lane accounting (composed stats path, not timed) ------------
     live_rays = None
     if cfg.mode == "scan":
@@ -327,6 +345,7 @@ def run_once(name="mesh100k", width=None, height=None, repeats=3,
         "grad_soft_s": grad_soft_s,
         "rays_issued": issued,
         "rays_live": live_rays,
+        "tree_truncated": tree_truncated,
         "rays_per_s_fwd": fwd,
         "rays_per_s_fwd_bwd": fwd_bwd,
         "rays_per_s_fwd_bwd_composed": fwd_bwd_composed,

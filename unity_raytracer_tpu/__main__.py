@@ -71,6 +71,10 @@ def cmd_fit(args):
     import jax.numpy as jnp
 
     if args.preset == "three_spheres":
+        if getattr(args, "replay", False):
+            print("fit: --replay is ignored for the three_spheres toy "
+                  "config (brute force, no megakernel BVH) — using the "
+                  "composed gradient path", file=sys.stderr)
         # toy config: brute force, depth 0, custom close-up camera
         scene, _, cfg = three_spheres(width=args.size, height=args.size)
         cfg = resolve_mode(scene, cfg.with_(max_bounces=0))

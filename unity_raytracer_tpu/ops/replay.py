@@ -108,6 +108,7 @@ def trace_records(scene: Scene, o: jnp.ndarray, d: jnp.ndarray,
               occ_mode=cfg.occ_mode,
               light_cull=cfg.light_cull,
               tri_isect=cfg.tri_isect,
+              shadow_batch=cfg.shadow_batch,
               record=True,
               record_soft=soft)
 
@@ -334,7 +335,8 @@ def replay_radiance(scene: Scene, o: jnp.ndarray, d: jnp.ndarray,
 
 
 def _soft_lighting(scene: Scene, p, n, v, mats: Materials,
-                   st_rec: jnp.ndarray, cfg: RenderConfig):
+                   st_rec: jnp.ndarray, cfg: RenderConfig,
+                   diag_proxy: jnp.ndarray | None = None):
     """Soft-shadow direct lighting from recorded mesh min-t plus
     jnp-recomputed sphere / loose-triangle occluder minima — the terms
     of shade.direct_lighting at ``soft_shadow_temp > 0`` without any
@@ -346,6 +348,24 @@ def _soft_lighting(scene: Scene, p, n, v, mats: Materials,
     spheres / loose tris): a first [N,L,S]-vectorized form spent ~100ms
     per step in L-major broadcast/reshape traffic on v5e (xprof_soft
     trace, r4e session) — rank-3 intermediates tile poorly on TPU.
+
+    ``diag_proxy`` (optional [N] bool — the segment's proxy-adopted
+    lanes) switches on the BIAS DIAGNOSTICS return: the function then
+    returns ``(color, frozen_any, proxy_risk_any)`` where
+
+    * ``frozen_any`` marks lanes where, for some light, the MESH record
+      is the winning occluder min inside the sigmoid's active band —
+      exactly the lanes whose d(st)/d(·) chain terms are silently
+      frozen (the documented soft-replay bias regime);
+    * ``proxy_risk_any`` marks proxy lanes whose shadow segment enters
+      the mesh-soup AABB — lanes whose assumed-no-mesh-occlusion may be
+      wrong (the hard forward never queried them).
+
+    Compile-time note (VERDICT r4 weak #5): the static unrolls make
+    compile time scale with S * L and T * L; at the presets' table
+    sizes (S, T <= ~16) this is seconds, but hundreds of spheres or
+    loose triangles would blow up compilation quadratically-ish —
+    route such scenes through the composed path instead.
     """
     from unity_raytracer_tpu.ops import intersect as isect
     from unity_raytracer_tpu.ops.shade import _soft_or_hard_vis
@@ -363,6 +383,19 @@ def _soft_lighting(scene: Scene, p, n, v, mats: Materials,
     if cfg.light_cull > 0.0:
         kdks = (jnp.max(mats.diffuse, axis=-1)
                 + jnp.max(mats.specular, axis=-1))
+
+    diag = diag_proxy is not None
+    if diag:
+        n_lanes = p.shape[0]
+        frozen_any = jnp.zeros((n_lanes,), bool)
+        frozen_band_any = jnp.zeros((n_lanes,), bool)
+        proxy_risk_any = jnp.zeros((n_lanes,), bool)
+        # mesh-soup AABB (diagnostics only — conservative entry test for
+        # proxy lanes whose shadow rays the hard forward never queried)
+        mv = scene.meshes.verts                                  # [M,3,3]
+        mvalid = scene.meshes.valid[:, None, None]
+        mesh_lo = jnp.min(jnp.where(mvalid, mv, jnp.inf), axis=(0, 1))
+        mesh_hi = jnp.max(jnp.where(mvalid, mv, -jnp.inf), axis=(0, 1))
 
     acc = color
     for l in range(L):
@@ -404,6 +437,21 @@ def _soft_lighting(scene: Scene, p, n, v, mats: Materials,
         # min with the frozen mesh record; <= keeps the DIFFERENTIABLE
         # branch at exact ties
         stl = st_rec[:, l]
+        if diag:
+            # biased regime: the mesh record wins the occluder min AND
+            # occludes — its d(st) chain terms are frozen below. The
+            # band-filtered variant keeps only lanes inside the
+            # sigmoid's active region, where the frozen gradient is
+            # actually non-negligible (outside it vis is saturated).
+            mesh_wins = ((stl < st) & (stl * stl < ld2)
+                         & scene.lights.valid[l] & (ln >= 0.0))
+            band = (jnp.abs(stl * stl - ld2) < 30.0 * max(temp, 1e-6))
+            frozen_any = frozen_any | mesh_wins
+            frozen_band_any = frozen_band_any | (mesh_wins & band)
+            proxy_risk_any = proxy_risk_any | (
+                diag_proxy & scene.lights.valid[l] & (ln >= 0.0)
+                & isect.ray_aabb(so, ldir, mesh_lo[None, :],
+                                 mesh_hi[None, :]))
         st = jnp.where(st <= stl, st, jax.lax.stop_gradient(stl))
         occ = (st * st) < ld2
         vis = _soft_or_hard_vis(~occ, st * st - ld2, temp, stt)
@@ -414,8 +462,15 @@ def _soft_lighting(scene: Scene, p, n, v, mats: Materials,
         hv = hv * jax.lax.rsqrt(jnp.maximum(
             jnp.sum(hv * hv, axis=-1, keepdims=True), 1e-60))
         nh = jnp.maximum(0.0, jnp.sum(n * hv, axis=-1))
-        sterm = ((nh ** mats.phong) * (ln >= 0.0).astype(jnp.float32)
-                 * irr_s * vis)
+        # nh > 0 gate mirrors the megakernel (and replay_lighting): at
+        # nh == 0 with phong == 0, nh**phong evaluates to 1 and leaks
+        # specular light the kernel never emits (advisor r4 finding).
+        # Double-where keeps d(nh**phong)/d(nh) = inf at nh==0 (phong<1)
+        # off the masked lanes.
+        pos_nh = nh > 0.0
+        sterm = (jnp.where(pos_nh,
+                           jnp.where(pos_nh, nh, 1.0) ** mats.phong, 0.0)
+                 * (ln >= 0.0).astype(jnp.float32) * irr_s * vis)
         keepf = scene.lights.valid[l].astype(jnp.float32)
         if cfg.light_cull > 0.0:
             keepf = keepf * jax.lax.stop_gradient(
@@ -424,12 +479,15 @@ def _soft_lighting(scene: Scene, p, n, v, mats: Materials,
         acc = acc + (mats.diffuse * (dterm * keepf)[:, None]
                      + mats.specular * (sterm * keepf)[:, None]
                      ) * lint[None, :]
+    if diag:
+        return acc, frozen_any, frozen_band_any, proxy_risk_any
     return acc
 
 
 def replay_radiance_soft(scene: Scene, o: jnp.ndarray, d: jnp.ndarray,
                          records, cfg: RenderConfig,
-                         live_segments: int | None = None) -> jnp.ndarray:
+                         live_segments: int | None = None,
+                         with_diag: bool = False) -> jnp.ndarray:
     """Differentiable SOFT-visibility radiance from soft records — the
     fast silhouette-fitting path (VERDICT r3 next-step #3).
 
@@ -447,6 +505,15 @@ def replay_radiance_soft(scene: Scene, o: jnp.ndarray, d: jnp.ndarray,
     * proxy (miss-side silhouette) lanes assume no mesh occlusion of
       their shadow rays — the hard forward never queried them; their
       sphere/loose occlusion is recomputed exactly.
+
+    ``with_diag=True`` additionally returns a dict of lane counts for
+    the biased regimes above: ``mesh_occ_frozen`` (lanes whose winning
+    shadow occluder is a frozen mesh record inside the sigmoid band)
+    and ``proxy_mesh_risk`` (proxy lanes whose unqueried shadow rays
+    enter the mesh AABB). Both zero <=> the soft gradients match the
+    composed path's semantics for mesh-shadow terms. fit() warns once
+    at start when nonzero; tests/test_replay_soft.py quantifies the
+    actual gradient bias on a crafted mesh-shadowed scene.
     """
     rt_all, rn_all, rmat_all, _, rst_all = records
     B = rt_all.shape[0]
@@ -461,13 +528,15 @@ def replay_radiance_soft(scene: Scene, o: jnp.ndarray, d: jnp.ndarray,
     ht = cfg.diff.soft_hit_temp
     stt = cfg.diff.straight_through
 
-    def segment(s, t_rec, n_rec, comb_f, st_rec, acc, thr, o, d, live):
+    def segment(s, t_rec, n_rec, comb_f, st_rec, acc, thr, o, d, live,
+                diag_acc):
         hit = live & (t_rec >= 0.0)
         _, p, n, comb = _winner_geometry(scene, o, d, t_rec, n_rec,
                                          comb_f, hit)
         shade_mask = hit
         w = hit.astype(jnp.float32)
         comb2 = comb
+        use_proxy = jnp.zeros((n_rays,), bool)
         if ht > 0.0 and S:
             # sphere silhouette relaxation — the proxy-adoption and
             # margin-blend logic of render._local_radiance, computed as
@@ -516,29 +585,46 @@ def replay_radiance_soft(scene: Scene, o: jnp.ndarray, d: jnp.ndarray,
                 hit.astype(jnp.float32) - w_soft) if stt else w_soft)
 
         mats = jax.tree.map(lambda a: take_rows(a, comb2), mats_table)
-        local = _soft_lighting(scene, p, n, -d, mats, st_rec, cfg)
+        if with_diag:
+            local, frozen, frozen_band, proxy_risk = _soft_lighting(
+                scene, p, n, -d, mats, st_rec, cfg,
+                diag_proxy=use_proxy)
+            diag_acc = (
+                diag_acc[0]
+                + jnp.sum((frozen & shade_mask).astype(jnp.int32)),
+                diag_acc[1]
+                + jnp.sum((frozen_band & shade_mask).astype(jnp.int32)),
+                diag_acc[2] + jnp.sum(proxy_risk.astype(jnp.int32)))
+        else:
+            local = _soft_lighting(scene, p, n, -d, mats, st_rec, cfg)
         local_safe = sel3(shade_mask, local,
                           jnp.broadcast_to(bg, (n_rays, 3)))
         contrib = bg[None, :] + w[:, None] * (local_safe - bg[None, :])
         acc = acc + thr * contrib * live[:, None]
         if s == B - 1:
-            return acc, thr, o, d, live
+            return acc, thr, o, d, live, diag_acc
         cont = hit & mats.is_mirror.astype(bool) & (s < cfg.max_bounces)
         thr = sel3(cont, thr * mats.mirror, thr)
         o = p + n * SHADOW_EPS
         d = sel3(cont, sh.reflect_dir(d, n), d)
-        return acc, thr, o, d, cont
+        return acc, thr, o, d, cont, diag_acc
 
     # same static live-prefix skip as the hard replay (see the comment
     # there: a dynamic cond skip OOMs under value_and_grad)
+    diag_acc = (jnp.int32(0), jnp.int32(0), jnp.int32(0))
     for s in range(B if live_segments is None
                    else min(B, max(1, live_segments))):
         t_rec = jax.lax.stop_gradient(rt_all[s])
         n_rec = jax.lax.stop_gradient(rn_all[s])
         comb_f = jax.lax.stop_gradient(rmat_all[s])
         st_rec = jax.lax.stop_gradient(rst_all[s])
-        acc, thr, o, d, live = segment(s, t_rec, n_rec, comb_f, st_rec,
-                                       acc, thr, o, d, live)
+        acc, thr, o, d, live, diag_acc = segment(
+            s, t_rec, n_rec, comb_f, st_rec, acc, thr, o, d, live,
+            diag_acc)
+    if with_diag:
+        return acc, {"mesh_occ_frozen": diag_acc[0],
+                     "mesh_occ_in_band": diag_acc[1],
+                     "proxy_mesh_risk": diag_acc[2]}
     return acc
 
 
@@ -598,6 +684,22 @@ def trace_radiance_replay_soft(scene: Scene, o: jnp.ndarray,
                                         live_segments=live_segments),
         (oc, dc, rc))
     return rad.reshape(-1, 3)[:n]
+
+
+@partial(jax.jit, static_argnames=("cfg", "live_segments"))
+def soft_replay_bias_counts(scene: Scene, o: jnp.ndarray, d: jnp.ndarray,
+                            cfg: RenderConfig, bvh,
+                            live_segments: int | None = None):
+    """One soft-records pass + diagnostic replay -> the biased-regime
+    lane counts of ``replay_radiance_soft(with_diag=True)``:
+    ``{mesh_occ_frozen, proxy_mesh_risk}`` (both int32 scalars). Cheap
+    enough to run once at fit start (fit() does, and warns if nonzero);
+    not intended for the per-step hot path."""
+    _, recs = trace_records(scene, o, d, cfg, bvh, soft=True)
+    _, diag = replay_radiance_soft(scene, o, d, recs, cfg,
+                                   live_segments=live_segments,
+                                   with_diag=True)
+    return diag
 
 
 def _mse(rad, target, weights):

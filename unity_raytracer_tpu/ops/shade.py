@@ -234,8 +234,14 @@ def direct_lighting(scene: Scene, p: jnp.ndarray, n: jnp.ndarray,
     hv = hv / jnp.maximum(jnp.linalg.norm(hv, axis=-1, keepdims=True), 1e-30)
     nh = jnp.maximum(0.0, jnp.sum(n[:, None, :] * hv, axis=-1))    # [N,L]
     spec_mask = (ln >= 0.0).astype(jnp.float32)                    # behind cut
+    # nh > 0 gate (megakernel / replay parity): 0**0 == 1 would leak
+    # specular for phong==0 materials on back-halfway lanes. Double-where
+    # keeps the nh==0 power-rule gradient (inf for phong<1) masked out.
+    pos_nh = nh > 0.0
+    spec_term = jnp.where(
+        pos_nh, jnp.where(pos_nh, nh, 1.0) ** mats.phong[:, None], 0.0)
     spec = (mats.specular[:, None, :]
-            * (nh ** mats.phong[:, None])[..., None] * irr
+            * spec_term[..., None] * irr
             * spec_mask[..., None])
 
     lvalid = scene.lights.valid[None, :, None].astype(jnp.float32)
