@@ -22,7 +22,7 @@
 
 namespace {
 
-constexpr int kSahBins = 16;
+constexpr int kMaxSahBins = 128;
 constexpr float kInf = std::numeric_limits<float>::infinity();
 
 struct Vec3 {
@@ -49,6 +49,7 @@ struct Builder {
   const float* tris;  // [m][9]
   int leaf_size;
   bool use_sah;
+  int sah_bins = 16;
 
   std::vector<Vec3> lo, hi, cent;
   std::vector<int32_t> order;
@@ -107,9 +108,11 @@ struct Builder {
     if (cmax - cmin < 1e-12f) {
       mid = start + n / 2;  // all centroids coincide: median split
     } else if (use_sah) {
-      // binned SAH
-      int bcount[kSahBins] = {0};
-      Vec3 blo[kSahBins], bhi[kSahBins];
+      // binned SAH (bin count configurable; 16 is the shipped default,
+      // larger counts sweep finer candidate splits at build-time cost)
+      const int kSahBins = sah_bins;
+      int bcount[kMaxSahBins] = {0};
+      Vec3 blo[kMaxSahBins], bhi[kMaxSahBins];
       for (int b = 0; b < kSahBins; ++b) {
         blo[b] = {kInf, kInf, kInf};
         bhi[b] = {-kInf, -kInf, -kInf};
@@ -124,8 +127,8 @@ struct Builder {
         bhi[b] = vmax(bhi[b], hi[t]);
       }
       // sweep: best split between bins
-      float larea[kSahBins], rarea[kSahBins];
-      int lcnt[kSahBins], rcnt[kSahBins];
+      float larea[kMaxSahBins], rarea[kMaxSahBins];
+      int lcnt[kMaxSahBins], rcnt[kMaxSahBins];
       {
         Vec3 alo = {kInf, kInf, kInf}, ahi = {-kInf, -kInf, -kInf};
         int acc = 0;
@@ -198,17 +201,32 @@ struct Builder {
 
 extern "C" {
 
+int urt_build_bvh_ex(const float* tris, int m, int leaf_size, int use_sah,
+                     int sah_bins, float* node_min, float* node_max,
+                     int32_t* first, int32_t* count, int32_t* miss_next,
+                     int32_t* prim_order);
+
 // Returns the number of nodes written, or -1 on error.
 // tris: m*9 floats. Output arrays must hold 2m-1 nodes (m >= 1).
 // prim_order: m int32 (leaf-order -> original row).
 int urt_build_bvh(const float* tris, int m, int leaf_size, int use_sah,
                   float* node_min, float* node_max, int32_t* first,
                   int32_t* count, int32_t* miss_next, int32_t* prim_order) {
+  return urt_build_bvh_ex(tris, m, leaf_size, use_sah, 16, node_min,
+                          node_max, first, count, miss_next, prim_order);
+}
+
+// Extended entry: explicit SAH bin count (clamped to [2, 128]).
+int urt_build_bvh_ex(const float* tris, int m, int leaf_size, int use_sah,
+                     int sah_bins, float* node_min, float* node_max,
+                     int32_t* first, int32_t* count, int32_t* miss_next,
+                     int32_t* prim_order) {
   if (m <= 0 || leaf_size <= 0) return -1;
   Builder b;
   b.tris = tris;
   b.leaf_size = leaf_size;
   b.use_sah = use_sah != 0;
+  b.sah_bins = std::min(std::max(sah_bins, 2), kMaxSahBins);
   b.node_min = node_min;
   b.node_max = node_max;
   b.first = first;

@@ -77,17 +77,28 @@ def _native_lib():
             ctypes.POINTER(ctypes.c_float), ctypes.POINTER(ctypes.c_float),
             ctypes.POINTER(ctypes.c_int32), ctypes.POINTER(ctypes.c_int32),
             ctypes.POINTER(ctypes.c_int32), ctypes.POINTER(ctypes.c_int32)]
+        # extended entry with explicit SAH bin count (older cached .so
+        # may predate it; fall back to the 16-bin default entry)
+        if hasattr(lib, "urt_build_bvh_ex"):
+            lib.urt_build_bvh_ex.restype = ctypes.c_int
+            lib.urt_build_bvh_ex.argtypes = (
+                lib.urt_build_bvh.argtypes[:4] + [ctypes.c_int]
+                + lib.urt_build_bvh.argtypes[4:])
         _NATIVE_LIB = lib
     except Exception:
         _NATIVE_LIB = None
     return _NATIVE_LIB
 
 
-def _build_native(tris: np.ndarray, leaf_size: int, use_sah: bool):
+def _build_native(tris: np.ndarray, leaf_size: int, use_sah: bool,
+                  sah_bins: int = SAH_BINS):
     """Run the C++ builder; returns node arrays + prim order, or None."""
     lib = _native_lib()
     if lib is None:
         return None
+    if sah_bins != SAH_BINS and not hasattr(lib, "urt_build_bvh_ex"):
+        return None  # stale .so without the bins entry: use numpy path
+
     import ctypes
 
     m = tris.shape[0]
@@ -103,11 +114,19 @@ def _build_native(tris: np.ndarray, leaf_size: int, use_sah: bool):
     def p(a, t):
         return a.ctypes.data_as(ctypes.POINTER(t))
 
-    n = lib.urt_build_bvh(
-        p(tris_f, ctypes.c_float), m, leaf_size, int(use_sah),
-        p(node_min, ctypes.c_float), p(node_max, ctypes.c_float),
-        p(first, ctypes.c_int32), p(count, ctypes.c_int32),
-        p(miss, ctypes.c_int32), p(order, ctypes.c_int32))
+    if hasattr(lib, "urt_build_bvh_ex"):
+        n = lib.urt_build_bvh_ex(
+            p(tris_f, ctypes.c_float), m, leaf_size, int(use_sah),
+            int(sah_bins),
+            p(node_min, ctypes.c_float), p(node_max, ctypes.c_float),
+            p(first, ctypes.c_int32), p(count, ctypes.c_int32),
+            p(miss, ctypes.c_int32), p(order, ctypes.c_int32))
+    else:
+        n = lib.urt_build_bvh(
+            p(tris_f, ctypes.c_float), m, leaf_size, int(use_sah),
+            p(node_min, ctypes.c_float), p(node_max, ctypes.c_float),
+            p(first, ctypes.c_int32), p(count, ctypes.c_int32),
+            p(miss, ctypes.c_int32), p(order, ctypes.c_int32))
     if n <= 0:
         return None
     return (node_min[:n], node_max[:n], first[:n], count[:n], miss[:n],
@@ -142,6 +161,10 @@ class MeshBVH:
     # backface cull, |det| test only).
     canonical: bool = dataclasses.field(
         metadata=dict(static=True), default=False)
+    # [M_total] bool — which ORIGINAL mesh rows canonical_winding swapped
+    # (v1<->v2). Stored so bind_verts can re-derive ``tri_verts`` from
+    # the CURRENT scene mesh table differentiably (mesh-vertex fitting).
+    flip: jnp.ndarray | None = None
 
     @property
     def n_nodes(self) -> int:
@@ -150,13 +173,19 @@ class MeshBVH:
 
 def build(verts: np.ndarray, valid: np.ndarray | None = None,
           leaf_size: int = LEAF_SIZE, use_sah: bool = True,
-          backend: str = "auto") -> MeshBVH:
+          backend: str = "auto", sah_bins: int = SAH_BINS,
+          aabb_pad: float = 0.0) -> MeshBVH:
     """Build over triangle array [M,3,3]; invalid rows are excluded and the
     arrays re-padded with never-hit degenerate triangles.
 
     backend: 'auto' (native C++ if available, else numpy), 'native',
     'numpy'. Both backends emit the same threaded layout; tests assert
     traversal-identical results.
+
+    ``aabb_pad``: inflate every node box by this margin. Makes the tree
+    CONSERVATIVE for vertex deformations up to the pad — traversal
+    against verts moved <= pad from their build positions stays exact
+    (the mesh-vertex fitting story, fit.PARAM_PATHS 'mesh_verts').
     """
     verts = np.asarray(verts, np.float32)
     m_total = verts.shape[0]
@@ -178,9 +207,12 @@ def build(verts: np.ndarray, valid: np.ndarray | None = None,
             leaf_size=leaf_size)
 
     if backend in ("auto", "native"):
-        res = _build_native(tris, leaf_size, use_sah)
+        res = _build_native(tris, leaf_size, use_sah, sah_bins)
         if res is not None:
             node_min, node_max, first_a, count_a, miss_a, order_a = res
+            if aabb_pad:
+                node_min = node_min - aabb_pad
+                node_max = node_max + aabb_pad
             return MeshBVH(
                 node_min=jnp.asarray(node_min),
                 node_max=jnp.asarray(node_max),
@@ -263,12 +295,12 @@ def build(verts: np.ndarray, valid: np.ndarray | None = None,
         if cmax - cmin < 1e-12:
             return None
         bins = np.clip(((c[:, axis] - cmin) / (cmax - cmin)
-                        * SAH_BINS).astype(np.int32), 0, SAH_BINS - 1)
+                        * sah_bins).astype(np.int32), 0, sah_bins - 1)
         # per-bin counts and bounds
-        counts = np.zeros(SAH_BINS, np.int64)
-        blo = np.full((SAH_BINS, 3), np.inf)
-        bhi = np.full((SAH_BINS, 3), -np.inf)
-        for b in range(SAH_BINS):
+        counts = np.zeros(sah_bins, np.int64)
+        blo = np.full((sah_bins, 3), np.inf)
+        bhi = np.full((sah_bins, 3), -np.inf)
+        for b in range(sah_bins):
             sel = bins == b
             counts[b] = sel.sum()
             if counts[b]:
@@ -281,7 +313,7 @@ def build(verts: np.ndarray, valid: np.ndarray | None = None,
                         + d[..., 2] * d[..., 0])
 
         best_cost, best_b = np.inf, -1
-        for b in range(1, SAH_BINS):
+        for b in range(1, sah_bins):
             cl, cr = counts[:b].sum(), counts[b:].sum()
             if cl == 0 or cr == 0:
                 continue
@@ -334,9 +366,14 @@ def build(verts: np.ndarray, valid: np.ndarray | None = None,
     tri_leaf_order = tris[order]
     prim_index = orig_idx[order]
 
+    nmin_arr = np.asarray(n_min, np.float32)
+    nmax_arr = np.asarray(n_max, np.float32)
+    if aabb_pad:
+        nmin_arr = nmin_arr - aabb_pad
+        nmax_arr = nmax_arr + aabb_pad
     return MeshBVH(
-        node_min=jnp.asarray(np.asarray(n_min, np.float32)),
-        node_max=jnp.asarray(np.asarray(n_max, np.float32)),
+        node_min=jnp.asarray(nmin_arr),
+        node_max=jnp.asarray(nmax_arr),
         first=jnp.asarray(n_first_arr),
         count=jnp.asarray(n_count_arr),
         miss_next=jnp.asarray(miss_arr),
@@ -483,16 +520,52 @@ def traverse(bvh: MeshBVH, o: jnp.ndarray, d: jnp.ndarray,
     return t_out, orig.astype(jnp.int32), shading_normal(tri)
 
 
-def canonical_winding(verts: np.ndarray, normals: np.ndarray) -> np.ndarray:
+def canonical_winding(verts: np.ndarray, normals: np.ndarray,
+                      return_flip: bool = False) -> np.ndarray:
     """Swap v1/v2 of triangles whose derived normal opposes the stored
     shading normal, so ``shading_normal`` (the -cross bake convention,
     SceneMesh.cs:43) reproduces the stored normals without a per-ray
-    gather. The swap is intersection-invariant (see MeshBVH.canonical)."""
+    gather. The swap is intersection-invariant (see MeshBVH.canonical).
+    ``return_flip``: also return the per-row swap mask (stored on
+    MeshBVH.flip so bind_verts can re-apply it differentiably)."""
     v = np.array(verts, np.float32, copy=True)
     nc = -np.cross(v[:, 2] - v[:, 0], v[:, 1] - v[:, 0])
     flip = np.sum(nc * np.asarray(normals, np.float32), axis=-1) < 0.0
     v[flip] = v[flip][:, [0, 2, 1]]
-    return v
+    return (v, flip) if return_flip else v
+
+
+def bind_verts(bvh, scene):
+    """Differentiably re-derive the traversal epilogue's triangle table
+    from the CURRENT scene mesh verts — the mesh-vertex gradient hook
+    (fit.PARAM_PATHS 'mesh_verts').
+
+    Traversal decisions (which node, which winner) stay on the baked
+    arrays behind stop_gradient; the epilogue's differentiable t /
+    shading-normal re-derivation then reads this bound table, so
+    d(radiance)/d(mesh verts) flows exactly like the brute-force path.
+    When the verts are NOT a traced parameter the gather constant-folds
+    at compile time — binding is free for ordinary renders.
+
+    Caveats (documented mesh-fitting contract):
+    * use the composed path with kernel='xla' — the Pallas packet
+      kernels test the BAKED leaf rows for winner selection, so their
+      forward would lag the moving verts;
+    * build the BVH with ``aabb_pad >= max vertex displacement``
+      (cfg.bvh_pad) so the padded node boxes stay conservative and the
+      forward remains exact while verts move.
+    """
+    from unity_raytracer_tpu.ops.pallas.traverse_mk3 import PackedBVH
+    if scene.meshes.count == 0:
+        return bvh
+    packed = isinstance(bvh, PackedBVH)
+    inner = bvh.bvh if packed else bvh
+    v = scene.meshes.verts
+    if inner.flip is not None:
+        v = jnp.where(inner.flip[:, None, None], v[:, (0, 2, 1), :], v)
+    tri = jnp.take(v, jnp.clip(inner.prim_index, 0, None), axis=0)
+    new_inner = dataclasses.replace(inner, tri_verts=tri)
+    return bvh._replace(bvh=new_inner) if packed else new_inner
 
 
 def prepare_bvh(scene, cfg):
@@ -506,16 +579,22 @@ def prepare_bvh(scene, cfg):
     kernel = cfg.kernel
     if kernel == "auto":
         kernel = "xla" if jax.default_backend() == "cpu" else "pallas"
-    verts = canonical_winding(np.asarray(scene.meshes.verts),
-                              np.asarray(scene.meshes.normals))
+    verts, flip = canonical_winding(np.asarray(scene.meshes.verts),
+                                    np.asarray(scene.meshes.normals),
+                                    return_flip=True)
+    flip_j = jnp.asarray(flip)
+    pad = getattr(cfg, "bvh_pad", 0.0) or 0.0
     if kernel.startswith("pallas") or kernel in ("mega", "wide"):
         from unity_raytracer_tpu.ops.pallas.traverse_mk3 import (
             PALLAS_LEAF, pack_bw, pack_rows)
         from unity_raytracer_tpu.ops.pallas.traverse_wide import widen
         leaf = getattr(cfg, "bvh_leaf", PALLAS_LEAF) or PALLAS_LEAF
-        b = build(verts, np.asarray(scene.meshes.valid), leaf_size=leaf)
+        bins = getattr(cfg, "bvh_bins", SAH_BINS) or SAH_BINS
+        b = build(verts, np.asarray(scene.meshes.valid), leaf_size=leaf,
+                  sah_bins=bins, aabb_pad=pad)
         packed = widen(
-            pack_rows(dataclasses.replace(b, canonical=True),
+            pack_rows(dataclasses.replace(b, canonical=True,
+                                          flip=flip_j),
                       leaf_slots=leaf),
             arity=getattr(cfg, "bvh_arity", 4))
         # Baldwin–Weber leaf records for the megakernel's cheap triangle
@@ -535,8 +614,10 @@ def prepare_bvh(scene, cfg):
         leafmeta = np.zeros((lp.shape[0], mwidth), np.float32)
         leafmeta[:, : lp.shape[1]] = matid.astype(np.float32)
         return packed._replace(leafmeta=jnp.asarray(leafmeta))
-    b = build(verts, np.asarray(scene.meshes.valid))
-    return dataclasses.replace(b, canonical=True)
+    b = build(verts, np.asarray(scene.meshes.valid),
+              sah_bins=getattr(cfg, "bvh_bins", SAH_BINS) or SAH_BINS,
+              aabb_pad=pad)
+    return dataclasses.replace(b, canonical=True, flip=flip_j)
 
 
 def traverse_any(bvh: MeshBVH, o: jnp.ndarray, d: jnp.ndarray,

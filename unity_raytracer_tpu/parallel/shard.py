@@ -500,7 +500,14 @@ def make_sharded_train_step(template: Scene, cam: Camera, rcfg: RenderConfig,
              out_specs=P(), check_vma=False)
     def sharded_loss(params, o_, d_, tgt_):
         scene = set_params(template, params)
-        rad = trace_radiance(scene, o_, d_, rcfg, bvh=bvh) / 255.0
+        b = bvh
+        if b is not None:
+            # mesh-vertex gradients (PARAM_PATHS 'mesh_verts'): re-bind
+            # the BVH epilogue verts to the current params — constant-
+            # folds to a no-op when mesh verts are not optimized
+            from unity_raytracer_tpu.ops.bvh import bind_verts
+            b = bind_verts(b, scene)
+        rad = trace_radiance(scene, o_, d_, rcfg, bvh=b) / 255.0
         sse = jnp.sum((rad - tgt_) ** 2)
         return jax.lax.psum(sse, RAY_AXIS) / (n_total * 3)
 

@@ -59,8 +59,29 @@ class RenderConfig:
     #                             Bigger leaves shrink the interior tree
     #                             (fewer walk steps) at more tests per
     #                             leaf visit
+    bvh_bins: int = 16          # binned-SAH builder bin count (finer
+    #                             candidate splits at build-time cost;
+    #                             16 is the shipped default)
+    bvh_pad: float = 0.0        # inflate every BVH node box by this
+    #                             margin: the tree stays conservative
+    #                             (traversal exact) for mesh vertices
+    #                             moved up to the pad from their build
+    #                             positions — set to the expected max
+    #                             deformation for mesh-vertex fitting
+    #                             (fit.PARAM_PATHS 'mesh_verts')
     fuse_shadows: bool = True   # megakernel: one fused occlusion walk for
     #                             all lights (wide layout only)
+    shadow_batch: bool = False  # megakernel: advance the per-light
+    #                             shadow walks in ONE while_loop with
+    #                             independent cursors/stacks — pays the
+    #                             per-iteration loop overhead max(steps)
+    #                             times instead of sum(steps), without
+    #                             the fused walk's union-leaf blowup.
+    #                             Ignored when fuse_shadows=True
+    dbg: str = ""               # megakernel step-overhead decomposition
+    #                             switches (comma-separated; see
+    #                             ops/pallas/mega._kernel) — NOT
+    #                             semantics-preserving; measurement only
     walk_unroll: int = 1        # megakernel wide walks: stack entries
     #                             processed per while_loop iteration —
     #                             amortizes per-iteration loop/branch
