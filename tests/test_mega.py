@@ -216,3 +216,21 @@ def test_mega_bw_isect_parity(small_scene):
         bvh=packed))
     np.testing.assert_allclose(img_bw_f, img_ref, rtol=5e-4, atol=5e-4)
 
+
+
+def test_mega_shadow_batch_parity(small_scene):
+    """cfg.shadow_batch advances all per-light walks in one while_loop
+    with independent stacks; every light still visits exactly its own
+    nodes in the same order, so the image must be IDENTICAL to the
+    per-light sequential walks."""
+    scene, cam = small_scene
+    cfg = RenderConfig(max_bounces=2, background=(0.04, 0.05, 0.07),
+                       use_bvh=True, mode="scan", block_size=32,
+                       fuse_shadows=False)
+    packed = bvhmod.prepare_bvh(scene, cfg.with_(kernel="mega"))
+    base = np.asarray(render(scene, cam, cfg.with_(kernel="mega"),
+                             bvh=packed))
+    bat = np.asarray(render(
+        scene, cam, cfg.with_(kernel="mega", shadow_batch=True),
+        bvh=packed))
+    np.testing.assert_array_equal(bat, base)

@@ -36,7 +36,8 @@ row/lane indices -> immediate scalar loads):
   rows spheres:     center(0:3) r2(3) valid(4) matid(5)
   rows loose tris:  v0 v1 v2 (0:9) normal(9:12) valid(12) matid(13)
   rows materials:   diffuse(0:3) ambient(3:6) mirror(6:9) specular(9:12)
-                    phong(12) is_mirror(13)
+                    phong(12) is_mirror(13) transparency(14:17) ior(17)
+                    is_dielectric(18)   [14:19 read only by fork mode]
 
 Mesh-triangle material ids are packed per leaf slot in
 ``PackedBVH.leafmeta [n_leaves, 16]`` (prepare_bvh), and shading normals
@@ -272,6 +273,189 @@ def _occluded_fused(nodes_ref, tris_ref, aux_ref, rays,
     return [(bests[l] < 0.0) & (best0s[l] > 0.0) for l in range(L)]
 
 
+def _occluded_batch(nodes_ref, tris_ref, aux_ref, rays,
+                    n_lights, n_spheres, n_tris,
+                    stack_ref, stack_tn_ref, arity, unroll=1,
+                    occ_mode="sort", leaf_rows=1,
+                    tri_isect="mt", bw_rows=0, min_mode=False,
+                    stack_cap=STACK_WIDE):
+    """All L any-hit walks advanced in ONE while_loop with INDEPENDENT
+    cursors / stacks / bests — NOT the shared-union fused walk.
+
+    The motivation is the measured step economics (docs/KERNELS.md): the
+    while_loop's per-iteration overhead (scalar loads, branch, loop
+    bookkeeping) rivals its vector work, and L sequential per-light
+    walks pay that overhead ``sum_l steps_l`` times. Advancing all L
+    walks per iteration pays it ``max_l steps_l`` times instead — while
+    each light still visits ONLY its own nodes, so the fat-leaf union
+    blowup that makes the fused walk lose (a fused leaf visit tests
+    leaf_size * L triangles) cannot occur: each leaf visit here tests
+    one light's rays only. Finished walks no-op (masked expand, empty
+    pop) and cost one wasted arity-slab of vector work per iteration.
+
+    Each light's stack lives at offset ``l * stack_cap`` of the shared
+    SMEM scratch (the caller sizes it ``n_lights * stack_cap``).
+    Same semantics and returns as ``_occluded_fused``.
+    """
+    L = len(rays)
+    tiny = 1e-30
+    fix = lambda v: jnp.where(jnp.abs(v) < tiny,
+                              jnp.where(v < 0, -tiny, tiny), v)
+
+    def slab1(o3, inv3, lx, ly, lz, hx, hy, hz, best):
+        sx, sy, sz = o3
+        ix, iy, iz = inv3
+        t1 = (lx - sx) * ix
+        t2 = (hx - sx) * ix
+        tn = jnp.minimum(t1, t2)
+        tf = jnp.maximum(t1, t2)
+        t1 = (ly - sy) * iy
+        t2 = (hy - sy) * iy
+        tn = jnp.maximum(tn, jnp.minimum(t1, t2))
+        tf = jnp.minimum(tf, jnp.maximum(t1, t2))
+        t1 = (lz - sz) * iz
+        t2 = (hz - sz) * iz
+        tn = jnp.maximum(tn, jnp.minimum(t1, t2))
+        tf = jnp.minimum(tf, jnp.maximum(t1, t2))
+        tn = jnp.maximum(tn, 0.0)
+        return (tn <= tf) & (tn <= best)
+
+    def mt1(o3, d3, v0x, v0y, v0z, v1x, v1y, v1z, v2x, v2y, v2z):
+        sx, sy, sz = o3
+        dx_, dy_, dz_ = d3
+        e1x, e1y, e1z = v1x - v0x, v1y - v0y, v1z - v0z
+        e2x, e2y, e2z = v2x - v0x, v2y - v0y, v2z - v0z
+        px_ = dy_ * e2z - dz_ * e2y
+        py_ = dz_ * e2x - dx_ * e2z
+        pz_ = dx_ * e2y - dy_ * e2x
+        det = e1x * px_ + e1y * py_ + e1z * pz_
+        par = jnp.abs(det) < EPS
+        f = 1.0 / jnp.where(par, 1.0, det)
+        qx_, qy_, qz_ = sx - v0x, sy - v0y, sz - v0z
+        u = f * (qx_ * px_ + qy_ * py_ + qz_ * pz_)
+        cx_ = qy_ * e1z - qz_ * e1y
+        cy_ = qz_ * e1x - qx_ * e1z
+        cz_ = qx_ * e1y - qy_ * e1x
+        v = f * (dx_ * cx_ + dy_ * cy_ + dz_ * cz_)
+        t = f * (e2x * cx_ + e2y * cy_ + e2z * cz_)
+        ok = (~par & (u >= 0.0) & (u <= 1.0) & (v >= 0.0)
+              & (u + v <= 1.0) & (t > EPS))
+        return ok, t
+
+    # per-light prepass: scene box gate + sphere/loose occluders
+    invs, bests, best0s = [], [], []
+    for (sx, sy, sz, ldx, ldy, ldz, tmax) in rays:
+        inv = (1.0 / fix(ldx), 1.0 / fix(ldy), 1.0 / fix(ldz))
+        in_box = slab1((sx, sy, sz), inv,
+                       aux_ref[0, 0], aux_ref[0, 1], aux_ref[0, 2],
+                       aux_ref[0, 3], aux_ref[0, 4], aux_ref[0, 5],
+                       jnp.full(sx.shape, _BIG, jnp.float32))
+        best = jnp.where(in_box, tmax, -1.0)
+        for s in range(n_spheres):
+            r = 1 + n_lights + s
+            ocx = sx - aux_ref[r, 0]
+            ocy = sy - aux_ref[r, 1]
+            ocz = sz - aux_ref[r, 2]
+            r2 = aux_ref[r, 3]
+            svalid = aux_ref[r, 4] > 0.0
+            uoc = ldx * ocx + ldy * ocy + ldz * ocz
+            oc2 = ocx * ocx + ocy * ocy + ocz * ocz
+            disc = uoc * uoc - (oc2 - r2)
+            sq = jnp.sqrt(jnp.maximum(disc, 0.0))
+            big = -uoc + sq
+            small = -uoc - sq
+            t_s = jnp.where(small < 0.0, big, small)
+            ok = (disc >= 0.0) & (big >= 0.0) & svalid
+            best = jnp.where(ok & (t_s < best),
+                             t_s if min_mode else -1.0, best)
+        for tt in range(n_tris):
+            r = 1 + n_lights + n_spheres + tt
+            ok, t_t = mt1((sx, sy, sz), (ldx, ldy, ldz),
+                          *tuple(aux_ref[r, j] for j in range(9)))
+            ok = ok & (aux_ref[r, 12] > 0.0)
+            best = jnp.where(ok & (t_t < best),
+                             t_t if min_mode else -1.0, best)
+        invs.append(inv)
+        bests.append(best)
+        best0s.append(jnp.where(in_box, tmax, -1.0))
+
+    def leaf_tests_one(l, leaf_row, best):
+        sx, sy, sz, ldx, ldy, ldz, _ = rays[l]
+        if tri_isect == "bw":
+            bwbase = (leaf_row // leaf_rows) * bw_rows
+            for j in range(leaf_rows * PALLAS_LEAF):
+                row = bwbase + j // BW_PER_ROW
+                b = 12 * (j % BW_PER_ROW)
+                rec = tuple(tris_ref[row, b + q] for q in range(12))
+                ok, t = _bw1((sx, sy, sz), (ldx, ldy, ldz), rec)
+                best = jnp.where(ok & (t < best),
+                                 t if min_mode else -1.0, best)
+            return best
+        for rr, k in [(r_, k_) for r_ in range(leaf_rows)
+                      for k_ in range(PALLAS_LEAF)]:
+            b = 9 * k
+            vs = tuple(tris_ref[leaf_row + rr, b + j] for j in range(9))
+            ok, t = mt1((sx, sy, sz), (ldx, ldy, ldz), *vs)
+            best = jnp.where(ok & (t < best),
+                             t if min_mode else -1.0, best)
+        return best
+
+    def body(c):
+        cursors = list(c[0:L])
+        sps = list(c[L:2 * L])
+        cur_maxes = list(c[2 * L:3 * L])
+        bests = list(c[3 * L:4 * L])
+        for l in range(L):
+            cursor, sp, cur_max, best = (cursors[l], sps[l],
+                                         cur_maxes[l], bests[l])
+            is_leafe = cursor < -1
+            leaf_row = jnp.maximum(-cursor - 2, 0)
+
+            def leaf_branch(args, l=l, leaf_row=leaf_row):
+                b2 = leaf_tests_one(l, leaf_row, args[0])
+                return b2, jnp.max(b2)  # refresh the prune bound
+
+            best, cur_max = jax.lax.cond(
+                is_leafe, leaf_branch, lambda a: a, (best, cur_max))
+            node = jnp.maximum(cursor, 0)
+            sx, sy, sz = rays[l][0], rays[l][1], rays[l][2]
+            sp = _wide_expand(
+                nodes_ref, stack_ref, stack_tn_ref, node, sp,
+                cursor >= 0,
+                [(sx, sy, sz, invs[l][0], invs[l][1], invs[l][2],
+                  best)],
+                arity, ordered=occ_mode)
+            cursor, sp = _wide_pop(stack_ref, stack_tn_ref, sp, cur_max,
+                                   base=l * stack_cap)
+            # all lanes retired -> finish this walk (any-hit: bests go
+            # -1; min mode: cur_max stays positive while queries exist)
+            cursor = jnp.where(cur_max > 0.0, cursor, -1)
+            cursors[l], sps[l] = cursor, sp
+            cur_maxes[l], bests[l] = cur_max, best
+        return (*cursors, *sps, *cur_maxes, *bests)
+
+    def cond(c):
+        done = c[0] == -1
+        for l in range(1, L):
+            done = done & (c[l] == -1)
+        return ~done
+
+    cur0s = [jnp.max(b) for b in bests]
+    cursor0s = [jnp.where(cur0s[l] > 0.0, 0, -1).astype(jnp.int32)
+                for l in range(L)]
+    sp0s = [jnp.int32(l * stack_cap) for l in range(L)]
+    out = jax.lax.while_loop(
+        cond, _unrolled(body, unroll),
+        (*cursor0s, *sp0s, *cur0s, *bests))
+    bests = list(out[3 * L:4 * L])
+    if min_mode:
+        masks = [(bests[l] < best0s[l]) & (best0s[l] > 0.0)
+                 for l in range(L)]
+        sts = [jnp.where(masks[l], bests[l], _BIG) for l in range(L)]
+        return masks, sts
+    return [(bests[l] < 0.0) & (best0s[l] > 0.0) for l in range(L)]
+
+
 def _kernel(depth_ref,
             ox_ref, oy_ref, oz_ref, dx_ref, dy_ref, dz_ref, tmax_ref,
             tr_ref, tg_ref, tb_ref,
@@ -285,10 +469,26 @@ def _kernel(depth_ref,
             record: bool = False, unroll: int = 1,
             occ_mode: str = "sort", leaf_rows: int = 1,
             light_cull: float = 0.0, tri_isect: str = "mt",
-            bw_rows: int = 0, record_soft: bool = False):
-    # trailing refs: optional hit-record outputs (+ per-light min
-    # occluder t when record_soft), then the SMEM scratch
+            bw_rows: int = 0, record_soft: bool = False,
+            shadow_batch: bool = False, dbg: str = "",
+            fork: bool = False, has_mesh: bool = True):
+    # dbg: comma-separated step-overhead decomposition switches (NOT
+    # semantics-preserving — A/B instrumentation only, bench/session use):
+    #   nonear    skip the nearest mesh walk (spheres/tris/shade remain)
+    #   noshadow  skip all shadow walks (treat every light unoccluded)
+    #   noleaf    walk the tree but skip all leaf triangle tests
+    #   leaf1     leaf visits test only slot 0 (isolates the lax.cond +
+    #             branch cost from the leaf vector work)
+    #   nosort    nearest-walk pushes unordered (isolates sort network)
+    #   noprune   pops skip the stale-entry drop loop
+    dbg_set = frozenset(t for t in dbg.split(",") if t)
+    # trailing refs: fork's refract-child outputs OR the optional
+    # hit-record outputs (+ per-light min occluder t when record_soft),
+    # then the SMEM scratch
     stack_ref, stack_tn_ref = rest[-2:]
+    if fork:
+        (txo_ref, tyo_ref, tzo_ref, tdx_ref, tdy_ref, tdz_ref,
+         twr_ref, twg_ref, twb_ref, ttm_ref) = rest[:10]
     if record:
         rt_ref, rnx_ref, rny_ref, rnz_ref, rmat_ref, rocc_ref = rest[:6]
         rst_refs = rest[6:6 + n_lights] if record_soft else ()
@@ -309,6 +509,17 @@ def _kernel(depth_ref,
     tro_ref[:] = tr_ref[:]
     tgo_ref[:] = tg_ref[:]
     tbo_ref[:] = tb_ref[:]
+    if fork:
+        txo_ref[:] = ox_ref[:]
+        tyo_ref[:] = oy_ref[:]
+        tzo_ref[:] = oz_ref[:]
+        tdx_ref[:] = dx_ref[:]
+        tdy_ref[:] = dy_ref[:]
+        tdz_ref[:] = dz_ref[:]
+        twr_ref[:] = jnp.zeros((tile,), jnp.float32)
+        twg_ref[:] = jnp.zeros((tile,), jnp.float32)
+        twb_ref[:] = jnp.zeros((tile,), jnp.float32)
+        ttm_ref[:] = jnp.full((tile,), -1.0, jnp.float32)
     if record:
         rt_ref[:] = jnp.full((tile,), -1.0, jnp.float32)
         rnx_ref[:] = jnp.zeros((tile,), jnp.float32)
@@ -395,11 +606,15 @@ def _kernel(depth_ref,
         # cross-lane reduction for it.
         def near_leaf_tests(leaf_row, args):
             best_t, bnx, bny, bnz, bmat = args
+            if "noleaf" in dbg_set:
+                return best_t, bnx, bny, bnz, bmat
+            n_slots = (1 if "leaf1" in dbg_set
+                       else leaf_rows * PALLAS_LEAF)
             if tri_isect == "bw":
                 # tris_ref holds the BW rows; node meta still points at
                 # MT row bases, so rebase: leaf index * bw rows per leaf
                 bwbase = (leaf_row // leaf_rows) * bw_rows
-                for j in range(leaf_rows * PALLAS_LEAF):
+                for j in range(n_slots):
                     row = bwbase + j // BW_PER_ROW
                     b = 12 * (j % BW_PER_ROW)
                     rec = tuple(tris_ref[row, b + q] for q in range(12))
@@ -416,7 +631,7 @@ def _kernel(depth_ref,
                     bmat = jnp.where(upd, mid, bmat)
                 return best_t, bnx, bny, bnz, bmat
             for rr, k in [(r_, k_) for r_ in range(leaf_rows)
-                          for k_ in range(PALLAS_LEAF)]:
+                          for k_ in range(PALLAS_LEAF)][:n_slots]:
                 row = leaf_row + rr
                 b = 9 * k
                 vs = tuple(tris_ref[row, b + j] for j in range(9))
@@ -449,8 +664,11 @@ def _kernel(depth_ref,
             sp = _wide_expand(nodes_ref, stack_ref, stack_tn_ref,
                               node, sp, cursor >= 0,
                               [(ox, oy, oz, inv_dx, inv_dy, inv_dz,
-                                best_t)], arity)
-            cursor, sp = _wide_pop(stack_ref, stack_tn_ref, sp, cur_max)
+                                best_t)], arity,
+                              ordered=("none" if "nosort" in dbg_set
+                                       else "sort"))
+            cursor, sp = _wide_pop(stack_ref, stack_tn_ref, sp, cur_max,
+                                   prune="noprune" not in dbg_set)
             return cursor, sp, cur_max, best_t, bnx, bny, bnz, bmat
 
         def near_body(c):
@@ -525,7 +743,10 @@ def _kernel(depth_ref,
         bmat0 = jnp.full((tile,), -1.0, jnp.float32)
         # unroll applies to the wide walk only (its body is -1-safe; the
         # binary body indexes nodes_ref at the cursor and is not)
-        if arity:
+        if "nonear" in dbg_set or not has_mesh:
+            best_t, bnx, bny, bnz, bmat = (best_t0, zeros, zeros, zeros,
+                                           bmat0)
+        elif arity:
             _, _, _, best_t, bnx, bny, bnz, bmat = jax.lax.while_loop(
                 lambda c: c[0] != -1,
                 _unrolled(near_body_wide, unroll),
@@ -588,14 +809,17 @@ def _kernel(depth_ref,
 
         # ---- material select (static unroll over the combined table) ---
         mbase = 1 + n_lights + n_spheres + n_tris
-        mfields = [zeros] * 14
+        nf = 19 if fork else 14  # fork also reads transparency/ior/die
+        mfields = [zeros] * nf
         for m in range(n_mats):
             sel = bmat == m
-            for j in range(14):
+            for j in range(nf):
                 mfields[j] = jnp.where(sel, aux_ref[mbase + m, j],
                                        mfields[j])
         (kd_r, kd_g, kd_b, ka_r, ka_g, ka_b, km_r, km_g, km_b,
-         ks_r, ks_g, ks_b, phong, is_mir_f) = mfields
+         ks_r, ks_g, ks_b, phong, is_mir_f) = mfields[:14]
+        if fork:
+            (tp_r, tp_g, tp_b, ior_f, is_die_f) = mfields[14:19]
 
         t_safe = jnp.where(hit, best_t, 1.0)
         px = ox + dx * t_safe
@@ -641,8 +865,25 @@ def _kernel(depth_ref,
             geo.append((ldx, ldy, ldz, ln, need, ldist, ld2))
 
         sts = None
-        if arity and n_lights and fuse:
+        if "noshadow" in dbg_set:
+            occs = [jnp.zeros((tile,), bool) for _ in range(n_lights)]
+            if record_soft:
+                sts = [jnp.full((tile,), _BIG, jnp.float32)
+                       for _ in range(n_lights)]
+        elif arity and n_lights and fuse and has_mesh:
             occs = _occluded_fused(
+                nodes_ref, tris_ref, aux_ref,
+                [(sx, sy, sz, g[0], g[1], g[2],
+                  jnp.where(g[4], g[5], -1.0)) for g in geo],
+                n_lights, n_spheres, n_tris,
+                stack_ref, stack_tn_ref, arity, unroll=unroll,
+                occ_mode=occ_mode, leaf_rows=leaf_rows,
+                tri_isect=tri_isect, bw_rows=bw_rows,
+                min_mode=record_soft)
+            if record_soft:
+                occs, sts = occs
+        elif arity and n_lights and shadow_batch and has_mesh:
+            occs = _occluded_batch(
                 nodes_ref, tris_ref, aux_ref,
                 [(sx, sy, sz, g[0], g[1], g[2],
                   jnp.where(g[4], g[5], -1.0)) for g in geo],
@@ -661,7 +902,8 @@ def _kernel(depth_ref,
                           stack_ref, stack_tn_ref, arity,
                           occ_mode=occ_mode, leaf_rows=leaf_rows,
                           tri_isect=tri_isect, bw_rows=bw_rows,
-                          min_mode=record_soft)
+                          min_mode=record_soft, dbg_set=dbg_set,
+                          has_mesh=has_mesh)
                 for g in geo]
             if record_soft:
                 sts = [p[1] for p in occs]
@@ -724,10 +966,79 @@ def _kernel(depth_ref,
                 for l in range(n_lights):
                     rst_refs[l][:] = sts[l]
 
-        # ---- mirror continuation (:358-373) ----------------------------
         depth = depth_ref[0]
-        cont = live_in & hit & (is_mir_f > 0.0) & (depth < max_bounces)
         ddn = dx * bnx + dy * bny + dz * bnz
+        if fork:
+            # ---- dielectric fork (ops/render._trace_tree semantics) ----
+            # reflect child shared by mirrors (weight is_mirror*mirror)
+            # and dielectrics (weight is_die*Fresnel*transparency);
+            # refract child for non-TIR dielectric hits. Base refs carry
+            # the REFLECT child, the fork refs the REFRACT child; lane
+            # liveness rides the tmax outputs (-1 = dead).
+            entering = ddn < 0.0
+            sgn = jnp.where(entering, 1.0, -1.0)
+            nex, ney, nez = bnx * sgn, bny * sgn, bnz * sgn
+            is_die = is_die_f > 0.0
+            is_mir = is_mir_f > 0.0
+            nrx = jnp.where(is_die, nex, bnx)
+            nry = jnp.where(is_die, ney, bny)
+            nrz = jnp.where(is_die, nez, bnz)
+            rddn = dx * nrx + dy * nry + dz * nrz
+            rdx = dx - 2.0 * nrx * rddn
+            rdy = dy - 2.0 * nry * rddn
+            rdz = dz - 2.0 * nrz * rddn
+            cos_i = jnp.abs(ddn)
+            n1 = jnp.where(entering, 1.0, ior_f)
+            n2v = jnp.maximum(jnp.where(entering, ior_f, 1.0), 1e-6)
+            eta = n1 / n2v
+            kq = 1.0 - eta * eta * (1.0 - cos_i * cos_i)
+            tir = kq < 0.0
+            sq = jnp.sqrt(jnp.where(tir, 1.0, kq))
+            tfac = eta * cos_i - sq
+            tdx = eta * dx + tfac * nex
+            tdy = eta * dy + tfac * ney
+            tdz = eta * dz + tfac * nez
+            r0 = ((n1 - n2v) / (n1 + n2v)) ** 2
+            fres = jnp.where(tir, 1.0,
+                             r0 + (1.0 - r0) * (1.0 - cos_i) ** 5)
+            hm = hit.astype(jnp.float32)
+            w_re_r = (is_mir_f * km_r + is_die_f * fres * tp_r) * hm
+            w_re_g = (is_mir_f * km_g + is_die_f * fres * tp_g) * hm
+            w_re_b = (is_mir_f * km_b + is_die_f * fres * tp_b) * hm
+            refr_ok = hit & is_die & ~tir
+            rof = refr_ok.astype(jnp.float32)
+            w_tr_r = is_die_f * (1.0 - fres) * tp_r * rof
+            w_tr_g = is_die_f * (1.0 - fres) * tp_g * rof
+            w_tr_b = is_die_f * (1.0 - fres) * tp_b * rof
+            can = live_in & (depth < max_bounces)
+            refl_live = can & hit & (is_mir | is_die)
+            refr_live = can & refr_ok
+            # reflect child (base continuation refs)
+            oxo_ref[:] = px + nrx * SHADOW_EPS
+            oyo_ref[:] = py + nry * SHADOW_EPS
+            ozo_ref[:] = pz + nrz * SHADOW_EPS
+            dxo_ref[:] = jnp.where(hit, rdx, 0.0)
+            dyo_ref[:] = jnp.where(hit, rdy, 0.0)
+            dzo_ref[:] = jnp.where(hit, rdz, 1.0)
+            tmo_ref[:] = jnp.where(refl_live, _BIG, -1.0)
+            tro_ref[:] = thr_r * w_re_r
+            tgo_ref[:] = thg * w_re_g
+            tbo_ref[:] = thb * w_re_b
+            # refract child (fork refs)
+            txo_ref[:] = px - nex * SHADOW_EPS
+            tyo_ref[:] = py - ney * SHADOW_EPS
+            tzo_ref[:] = pz - nez * SHADOW_EPS
+            tdx_ref[:] = jnp.where(refr_ok, tdx, 0.0)
+            tdy_ref[:] = jnp.where(refr_ok, tdy, 0.0)
+            tdz_ref[:] = jnp.where(refr_ok, tdz, 1.0)
+            ttm_ref[:] = jnp.where(refr_live, _BIG, -1.0)
+            twr_ref[:] = thr_r * w_tr_r
+            twg_ref[:] = thg * w_tr_g
+            twb_ref[:] = thb * w_tr_b
+            return
+
+        # ---- mirror continuation (:358-373) ----------------------------
+        cont = live_in & hit & (is_mir_f > 0.0) & (depth < max_bounces)
         rdx = dx - 2.0 * bnx * ddn
         rdy = dy - 2.0 * bny * ddn
         rdz = dz - 2.0 * bnz * ddn
@@ -747,7 +1058,7 @@ def _occluded(nodes_ref, tris_ref, aux_ref, sx, sy, sz, ldx, ldy, ldz,
               tmax, n_lights, n_spheres, n_tris,
               stack_ref=None, stack_tn_ref=None, arity=0,
               occ_mode="sort", leaf_rows=1, tri_isect="mt", bw_rows=0,
-              min_mode=False):
+              min_mode=False, dbg_set=frozenset(), has_mesh=True):
     """Embedded any-hit occlusion query (wide stack walk when ``arity``,
     else binary threaded traversal order — ordering buys little for
     any-hit, but the wide layout still quarters the step count).
@@ -832,6 +1143,12 @@ def _occluded(nodes_ref, tris_ref, aux_ref, sx, sy, sz, ldx, ldy, ldz,
         best = jnp.where(ok & (t_t < best), t_t if min_mode else -1.0,
                          best)
 
+    if not has_mesh:  # brute-force scene: no BVH walk to run
+        if min_mode:
+            mask = (best < best0) & (best0 > 0.0)
+            return mask, jnp.where(mask, best, _BIG)
+        return (best < 0.0) & (best0 > 0.0)
+
     if arity:
         def body_w(c):
             cursor, sp, best = c
@@ -839,9 +1156,13 @@ def _occluded(nodes_ref, tris_ref, aux_ref, sx, sy, sz, ldx, ldy, ldz,
             leaf_row = jnp.maximum(-cursor - 2, 0)
 
             def leaf_tests(best):
+                if "noleaf" in dbg_set:
+                    return best
+                n_slots = (1 if "leaf1" in dbg_set
+                           else leaf_rows * PALLAS_LEAF)
                 if tri_isect == "bw":
                     bwbase = (leaf_row // leaf_rows) * bw_rows
-                    for j in range(leaf_rows * PALLAS_LEAF):
+                    for j in range(n_slots):
                         row = bwbase + j // BW_PER_ROW
                         b = 12 * (j % BW_PER_ROW)
                         rec = tuple(tris_ref[row, b + q]
@@ -851,7 +1172,7 @@ def _occluded(nodes_ref, tris_ref, aux_ref, sx, sy, sz, ldx, ldy, ldz,
                                          t if min_mode else -1.0, best)
                     return best
                 for rr, k in [(r_, k_) for r_ in range(leaf_rows)
-                              for k_ in range(PALLAS_LEAF)]:
+                              for k_ in range(PALLAS_LEAF)][:n_slots]:
                     b = 9 * k
                     ok, t = mt(*tuple(tris_ref[leaf_row + rr, b + j]
                                       for j in range(9)))
@@ -866,7 +1187,8 @@ def _occluded(nodes_ref, tris_ref, aux_ref, sx, sy, sz, ldx, ldy, ldz,
                               [(sx, sy, sz, inv_x, inv_y, inv_z, best)],
                               arity, ordered=occ_mode)
             cursor, sp = _wide_pop(stack_ref, stack_tn_ref, sp,
-                                   jnp.max(best))
+                                   jnp.max(best),
+                                   prune="noprune" not in dbg_set)
             return cursor, sp, best
 
         def cond_w(c):
@@ -951,7 +1273,9 @@ def build_aux(scene, background) -> jnp.ndarray:
         for i in range(cnt):
             rows.append(row(m.diffuse[i], m.ambient[i], m.mirror[i],
                             m.specular[i], m.phong[i],
-                            m.is_mirror[i].astype(jnp.float32)))
+                            m.is_mirror[i].astype(jnp.float32),
+                            m.transparency[i], m.ior[i],
+                            m.is_dielectric[i].astype(jnp.float32)))
     return jnp.stack(rows, axis=0)
 
 
@@ -963,7 +1287,9 @@ def trace_segment(packed: PackedBVH, aux: jnp.ndarray, depth: jnp.ndarray,
                   fuse_shadows: bool = True, record: bool = False,
                   walk_unroll: int = 1, occ_mode: str = "sort",
                   light_cull: float = 0.0, tri_isect: str = "mt",
-                  record_soft: bool = False):
+                  record_soft: bool = False,
+                  shadow_batch: bool = False, dbg: str = "",
+                  fork: bool = False, has_mesh: bool = True):
     """One fused bounce segment over all rays.
 
     Returns ``(delta [N,3], o' [N,3], d' [N,3], thr' [N,3], tmax' [N])``:
@@ -986,8 +1312,27 @@ def trace_segment(packed: PackedBVH, aux: jnp.ndarray, depth: jnp.ndarray,
     ``st [N, n_lights]``: the min occluder distance per light (_BIG when
     unoccluded), the quantity the soft-shadow sigmoid needs
     (ops/replay.replay_radiance_soft).
+
+    ``shadow_batch``: advance all per-light shadow walks in ONE
+    while_loop with independent cursors/stacks (_occluded_batch) —
+    pays the per-iteration loop overhead max(steps) times instead of
+    sum(steps). Mutually exclusive with ``fuse_shadows``.
+    ``dbg``: step-overhead decomposition switches (see _kernel) — NOT
+    semantics-preserving; for measurement sessions only.
+
+    ``fork=True`` (the fused TREE-level kernel, baseline config 2):
+    instead of the mirror continuation, every dielectric/mirror hit
+    emits a REFLECT child on the base continuation refs and a REFRACT
+    child appended to the return —
+    ``(delta, ro, rd, w_refl, tmax_refl, to, td, w_refr, tmax_refr)``
+    with _trace_tree's exact weights (Schlick Fresnel, TIR mask).
+    Forward-only (mutually exclusive with record). ``has_mesh=False``
+    skips every BVH walk — the brute sphere/loose-triangle scene path
+    (cornell) needs no tree; pass a dummy 1-row PackedBVH.
     """
     record = record or record_soft
+    if fork and record:
+        raise ValueError("fork mode is forward-only (no hit records)")
     if packed.leafmeta is None:
         raise ValueError("PackedBVH.leafmeta missing — build the BVH via "
                          "prepare_bvh for the megakernel path")
@@ -1037,7 +1382,8 @@ def trace_segment(packed: PackedBVH, aux: jnp.ndarray, depth: jnp.ndarray,
         memory_space=pltpu.VMEM)
     smem1 = pl.BlockSpec(memory_space=pltpu.SMEM)
 
-    n_out = 13 + (6 if record else 0) + (n_lights if record_soft else 0)
+    n_out = (13 + (10 if fork else 0) + (6 if record else 0)
+             + (n_lights if record_soft else 0))
     outs = pl.pallas_call(
         functools.partial(_kernel, n_lights=n_lights, n_spheres=n_spheres,
                           n_tris=n_tris, n_mats=n_mats,
@@ -1047,7 +1393,9 @@ def trace_segment(packed: PackedBVH, aux: jnp.ndarray, depth: jnp.ndarray,
                           leaf_rows=packed.rows_per_leaf,
                           light_cull=light_cull, tri_isect=tri_isect,
                           bw_rows=packed.bw_rows_per_leaf,
-                          record_soft=record_soft),
+                          record_soft=record_soft,
+                          shadow_batch=shadow_batch, dbg=dbg,
+                          fork=fork, has_mesh=has_mesh),
         grid=grid,
         in_specs=[smem1,
                   tile, tile, tile, tile, tile, tile, tile,
@@ -1057,8 +1405,13 @@ def trace_segment(packed: PackedBVH, aux: jnp.ndarray, depth: jnp.ndarray,
         out_specs=tuple([tile] * n_out),
         out_shape=tuple([jax.ShapeDtypeStruct((total,), jnp.float32)]
                         * n_out),
-        scratch_shapes=[pltpu.SMEM((stack_n,), jnp.int32),
-                        pltpu.SMEM((stack_n,), jnp.float32)],
+        scratch_shapes=[
+            # batched per-light walks keep L disjoint 256-entry stack
+            # regions in the one scratch array (few KB of SMEM)
+            pltpu.SMEM((stack_n * (max(n_lights, 1) if shadow_batch
+                                   else 1),), jnp.int32),
+            pltpu.SMEM((stack_n * (max(n_lights, 1) if shadow_batch
+                                   else 1),), jnp.float32)],
         # resident blocks total ~21MB with 128-lane padding (nodes 10.7 +
         # tris 5.3 + leafmeta 5.3): above Mosaic's conservative 16MB
         # default scoped-vmem limit, well under the chip's physical VMEM
@@ -1076,6 +1429,12 @@ def trace_segment(packed: PackedBVH, aux: jnp.ndarray, depth: jnp.ndarray,
     d2 = jnp.stack([cut(dxo), cut(dyo), cut(dzo)], axis=-1)
     thr2 = jnp.stack([cut(tro), cut(tgo), cut(tbo)], axis=-1)
     base = (delta, o2, d2, thr2, cut(tmo))
+    if fork:
+        (txo, tyo, tzo, tdx, tdy, tdz, twr, twg, twb, ttm) = outs[13:23]
+        o3 = jnp.stack([cut(txo), cut(tyo), cut(tzo)], axis=-1)
+        d3 = jnp.stack([cut(tdx), cut(tdy), cut(tdz)], axis=-1)
+        w3 = jnp.stack([cut(twr), cut(twg), cut(twb)], axis=-1)
+        return base + (o3, d3, w3, cut(ttm))
     if not record:
         return base
     rt, rnx, rny, rnz, rmat, rocc = outs[13:19]

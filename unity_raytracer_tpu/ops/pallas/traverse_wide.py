@@ -153,18 +153,25 @@ def wide_expand(nodes_ref, stack_ref, stack_tn_ref, node, sp, expand,
     return sp
 
 
-def wide_pop(stack_ref, stack_tn_ref, sp, cur_max):
+def wide_pop(stack_ref, stack_tn_ref, sp, cur_max, base=0, prune=True):
     """Pop the top stack entry, first dropping entries whose recorded
     entry distance can no longer beat any lane (traverse_mk4's prune).
-    Returns (cursor, sp); cursor == -1 means the stack is exhausted."""
-    def pop_cond(s):
-        sp_, _ = s
-        stale = stack_tn_ref[jnp.maximum(sp_ - 1, 0)] > cur_max
-        return (sp_ > 0) & stale
+    Returns (cursor, sp); cursor == -1 means the stack is exhausted.
 
-    sp, _ = jax.lax.while_loop(pop_cond, lambda s: (s[0] - 1, s[1]),
-                               (sp, jnp.int32(0)))
-    has = sp > 0
+    ``base``: lowest valid stack index — lets several independent walks
+    share one SMEM scratch array at disjoint offsets (the batched
+    per-light shadow walk gives each light a 256-entry region).
+    ``prune=False`` skips the stale-entry drop loop (step-overhead
+    decomposition instrumentation)."""
+    if prune:
+        def pop_cond(s):
+            sp_, _ = s
+            stale = stack_tn_ref[jnp.maximum(sp_ - 1, 0)] > cur_max
+            return (sp_ > base) & stale
+
+        sp, _ = jax.lax.while_loop(pop_cond, lambda s: (s[0] - 1, s[1]),
+                                   (sp, jnp.int32(0)))
+    has = sp > base
     cursor = jnp.where(has, stack_ref[jnp.maximum(sp - 1, 0)],
                        jnp.int32(-1))
     sp = jnp.where(has, sp - 1, sp)

@@ -155,7 +155,9 @@ def _trace_chain_mega(scene: Scene, o: jnp.ndarray, d: jnp.ndarray,
               walk_unroll=cfg.walk_unroll,
               occ_mode=cfg.occ_mode,
               light_cull=cfg.light_cull,
-              tri_isect=cfg.tri_isect)
+              tri_isect=cfg.tri_isect,
+              shadow_batch=cfg.shadow_batch,
+              dbg=cfg.dbg)
 
     acc0 = jnp.zeros((n_rays, 3), jnp.float32)
     thr0 = jnp.ones((n_rays, 3), jnp.float32)
@@ -265,7 +267,8 @@ def _trace_chain(scene: Scene, o: jnp.ndarray, d: jnp.ndarray,
 
 
 def _trace_tree(scene: Scene, o: jnp.ndarray, d: jnp.ndarray,
-                cfg: RenderConfig, depth: int, bvh=None) -> jnp.ndarray:
+                cfg: RenderConfig, depth: int, bvh=None,
+                with_stats: bool = False) -> jnp.ndarray:
     """Whitted tree with mirror + dielectric branches, evaluated as a
     LEVEL-SYNCHRONOUS WAVEFRONT.
 
@@ -293,6 +296,11 @@ def _trace_tree(scene: Scene, o: jnp.ndarray, d: jnp.ndarray,
     parent = jnp.arange(n_rays, dtype=jnp.int32)   # lane -> primary ray
     weight = jnp.ones((n_rays, 3), jnp.float32)    # accumulated throughput
     live = jnp.ones((n_rays,), bool)
+    # live weighted lanes dropped by tree_cap compaction (accuracy loss
+    # when > 0) — returned as a plain array so TPU runs can detect cap
+    # overflow without a host callback (advisor r4; the jax.debug.print
+    # below only exists on the CPU backend)
+    n_truncated = jnp.int32(0)
 
     for level in range(cfg.max_bounces + 1):
         tmax = jnp.where(live, 3.0e38, -1.0)
@@ -354,6 +362,8 @@ def _trace_tree(scene: Scene, o: jnp.ndarray, d: jnp.ndarray,
                 live = live & jnp.any(weight != 0.0, axis=-1)
                 score = jnp.where(
                     live, jnp.sum(jnp.abs(weight), axis=-1), -1.0)
+                n_truncated = n_truncated + jnp.maximum(
+                    jnp.sum(live.astype(jnp.int32)) - cap, 0)
                 # truncation is silent accuracy loss when it actually
                 # fires (live weighted lanes beyond the cap are dropped
                 # weakest-first) — make that detectable (advisor r3).
@@ -395,6 +405,105 @@ def _trace_tree(scene: Scene, o: jnp.ndarray, d: jnp.ndarray,
             o, d = ro, rd_safe
             weight = weight * w_refl
             live = refl_live
+    if with_stats:
+        return acc, n_truncated
+    return acc
+
+
+def _dummy_packed(arity: int = 4):
+    """1-row PackedBVH stand-in for meshless scenes on the fused tree
+    kernel (has_mesh=False skips every walk; these arrays are never
+    read). Host-side numpy at trace time — all-constant."""
+    from unity_raytracer_tpu.ops import bvh as bvhmod
+    from unity_raytracer_tpu.ops.pallas.traverse_mk3 import PackedBVH
+    wide = np.zeros((1, 8 * arity), np.float32)
+    wide[:, 7::8] = -1.0  # every child slot absent
+    return PackedBVH(
+        nodes=jnp.zeros((1, 16), jnp.float32),
+        tris=jnp.zeros((1, 128), jnp.float32),
+        leaf_prim=jnp.full((1, 14), -1, jnp.int32),
+        bvh=bvhmod.build(np.zeros((0, 3, 3), np.float32)),
+        leafmeta=jnp.zeros((1, 16), jnp.float32),
+        wide=jnp.asarray(wide),
+        leaf_tag=jnp.zeros((1,), jnp.float32),
+        tris_bw=jnp.zeros((1, 128), jnp.float32),
+        bw_tag=jnp.zeros((1,), jnp.float32))
+
+
+def _trace_tree_mega(scene: Scene, o: jnp.ndarray, d: jnp.ndarray,
+                     cfg: RenderConfig, bvh=None) -> jnp.ndarray:
+    """Level-synchronous Whitted tree on the FUSED fork kernel
+    (ops/pallas/mega.trace_segment with fork=True): each level's
+    nearest + shadows + shading + dielectric fork is ONE Pallas launch,
+    replacing the per-level brute XLA work that dominated config 2
+    after the r4 gather fixes (docs/KERNELS.md r4 tree section). The
+    XLA side keeps only what it is good at: the parent scatter-add and
+    the dead-fork compaction gather.
+
+    ``bvh=None`` asserts a MESHLESS scene (cornell: spheres + loose
+    triangles only) — the kernel runs with has_mesh=False and a dummy
+    1-row PackedBVH. Forward-only and hard-visibility only; the
+    composed ``_trace_tree`` remains the differentiable/general path.
+    """
+    import jax as _jax
+
+    from unity_raytracer_tpu.ops.pallas.mega import (
+        build_aux, trace_segment)
+
+    n_rays = o.shape[0]
+    has_mesh = bvh is not None and getattr(bvh, "leafmeta", None) is not None
+    packed = bvh if has_mesh else _dummy_packed(max(cfg.bvh_arity, 2))
+    aux = build_aux(scene, cfg.background)
+    kw = dict(n_lights=scene.lights.positions.shape[0],
+              n_spheres=scene.spheres.count,
+              n_tris=scene.triangles.count,
+              max_bounces=cfg.max_bounces,
+              interpret=_jax.default_backend() == "cpu",
+              tile_r=cfg.tile_r,
+              use_wide=True,
+              fuse_shadows=cfg.fuse_shadows,
+              walk_unroll=cfg.walk_unroll,
+              occ_mode=cfg.occ_mode,
+              light_cull=cfg.light_cull,
+              tri_isect=cfg.tri_isect if has_mesh else "mt",
+              shadow_batch=cfg.shadow_batch,
+              fork=True, has_mesh=has_mesh)
+
+    acc = jnp.zeros((n_rays, 3), jnp.float32)
+    parent = jnp.arange(n_rays, dtype=jnp.int32)
+    weight = jnp.ones((n_rays, 3), jnp.float32)
+    tmax = jnp.full((n_rays,), 3.0e38, jnp.float32)
+
+    for level in range(cfg.max_bounces + 1):
+        delta, ro, rd, w_re, tm_re, to, td, w_tr, tm_tr = trace_segment(
+            packed, aux, level, o, d, weight, tmax, **kw)
+        acc = acc.at[parent].add(delta)
+        if level == cfg.max_bounces:
+            break
+        o = jnp.concatenate([ro, to], axis=0)
+        d = jnp.concatenate([rd, td], axis=0)
+        weight = jnp.concatenate([w_re, w_tr], axis=0)
+        parent = jnp.concatenate([parent, parent], axis=0)
+        tmax = jnp.concatenate([tm_re, tm_tr], axis=0)
+        # dead-fork compaction — same discipline (and the same ONE
+        # packed gather) as _trace_tree
+        cap = (cfg.tree_cap or 0) * n_rays
+        if cap and o.shape[0] > cap:
+            live = (tmax >= 0.0) & jnp.any(weight != 0.0, axis=-1)
+            score = jnp.where(live, jnp.sum(jnp.abs(weight), axis=-1),
+                              -1.0)
+            order = jnp.argsort(-score)[:cap]
+            state = jnp.concatenate(
+                [o, d, weight,
+                 jax.lax.bitcast_convert_type(parent,
+                                              jnp.float32)[:, None],
+                 live.astype(jnp.float32)[:, None]], axis=1)
+            sel = jnp.take(state, order, axis=0)
+            o = sel[:, 0:3]
+            d = sel[:, 3:6]
+            weight = sel[:, 6:9]
+            parent = jax.lax.bitcast_convert_type(sel[:, 9], jnp.int32)
+            tmax = jnp.where(sel[:, 10] > 0.5, 3.0e38, -1.0)
     return acc
 
 
@@ -436,6 +545,11 @@ def trace_radiance(scene: Scene, o: jnp.ndarray, d: jnp.ndarray,
         mode = "tree"
     if mode == "scan":
         return _trace_chain(scene, o, d, cfg, bvh=bvh)
+    if (cfg.kernel == "mega" and cfg.diff.soft_hit_temp == 0.0
+            and cfg.diff.soft_shadow_temp == 0.0):
+        # fused fork kernel: hard forward only; bvh=None asserts a
+        # meshless scene (see _trace_tree_mega)
+        return _trace_tree_mega(scene, o, d, cfg, bvh=bvh)
     return _trace_tree(scene, o, d, cfg, 0, bvh=bvh)
 
 
@@ -445,6 +559,17 @@ def trace_radiance_stats(scene: Scene, o: jnp.ndarray, d: jnp.ndarray,
     """Scan-mode trace that also returns per-segment (live nearest lanes,
     live shadow lanes) counts — bench.py's honest-ray-accounting probe."""
     return _trace_chain(scene, o, d, cfg, bvh=bvh, with_stats=True)
+
+
+@partial(jax.jit, static_argnames=("cfg",))
+def trace_radiance_tree_stats(scene: Scene, o: jnp.ndarray, d: jnp.ndarray,
+                              cfg: RenderConfig, bvh=None):
+    """Tree-mode trace returning ``(radiance [N,3], n_truncated [])`` —
+    the count of live weighted lanes the tree_cap compaction dropped
+    (accuracy loss iff > 0). A plain array output, so it works on
+    backends that reject host callbacks (the remote-TPU backend rejects
+    jax.debug.print outright); bench.py and tests consume it."""
+    return _trace_tree(scene, o, d, cfg, 0, bvh=bvh, with_stats=True)
 
 
 @partial(jax.jit, static_argnames=("cfg",))
