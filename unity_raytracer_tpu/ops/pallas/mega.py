@@ -471,7 +471,8 @@ def _kernel(depth_ref,
             light_cull: float = 0.0, tri_isect: str = "mt",
             bw_rows: int = 0, record_soft: bool = False,
             shadow_batch: bool = False, dbg: str = "",
-            fork: bool = False, has_mesh: bool = True):
+            fork: bool = False, has_mesh: bool = True,
+            stale_prune: bool = True):
     # dbg: comma-separated step-overhead decomposition switches (NOT
     # semantics-preserving — A/B instrumentation only, bench/session use):
     #   nonear    skip the nearest mesh walk (spheres/tris/shade remain)
@@ -482,6 +483,10 @@ def _kernel(depth_ref,
     #   nosort    nearest-walk pushes unordered (isolates sort network)
     #   noprune   pops skip the stale-entry drop loop
     dbg_set = frozenset(t for t in dbg.split(",") if t)
+    # cfg.stale_prune=False (or dbg noprune): skip the prune loop AND
+    # the cross-lane max reductions that exist only to maintain its
+    # bound
+    prune = stale_prune and "noprune" not in dbg_set
     # trailing refs: fork's refract-child outputs OR the optional
     # hit-record outputs (+ per-light min occluder t when record_soft),
     # then the SMEM scratch
@@ -655,7 +660,10 @@ def _kernel(depth_ref,
 
             def leaf_branch(args):
                 out = near_leaf_tests(leaf_row, args[:-1])
-                return out + (jnp.max(out[0]),)   # refresh cur_max
+                # cur_max refresh: a cross-lane reduction, needed only
+                # while the stale-prune consumes the bound
+                return out + ((jnp.max(out[0]) if prune
+                               else args[-1]),)
 
             (best_t, bnx, bny, bnz, bmat, cur_max) = jax.lax.cond(
                 is_leafe, leaf_branch, lambda a: a,
@@ -668,7 +676,7 @@ def _kernel(depth_ref,
                               ordered=("none" if "nosort" in dbg_set
                                        else "sort"))
             cursor, sp = _wide_pop(stack_ref, stack_tn_ref, sp, cur_max,
-                                   prune="noprune" not in dbg_set)
+                                   prune=prune)
             return cursor, sp, cur_max, best_t, bnx, bny, bnz, bmat
 
         def near_body(c):
@@ -903,7 +911,7 @@ def _kernel(depth_ref,
                           occ_mode=occ_mode, leaf_rows=leaf_rows,
                           tri_isect=tri_isect, bw_rows=bw_rows,
                           min_mode=record_soft, dbg_set=dbg_set,
-                          has_mesh=has_mesh)
+                          has_mesh=has_mesh, prune=prune)
                 for g in geo]
             if record_soft:
                 sts = [p[1] for p in occs]
@@ -1058,7 +1066,8 @@ def _occluded(nodes_ref, tris_ref, aux_ref, sx, sy, sz, ldx, ldy, ldz,
               tmax, n_lights, n_spheres, n_tris,
               stack_ref=None, stack_tn_ref=None, arity=0,
               occ_mode="sort", leaf_rows=1, tri_isect="mt", bw_rows=0,
-              min_mode=False, dbg_set=frozenset(), has_mesh=True):
+              min_mode=False, dbg_set=frozenset(), has_mesh=True,
+              prune=True):
     """Embedded any-hit occlusion query (wide stack walk when ``arity``,
     else binary threaded traversal order — ordering buys little for
     any-hit, but the wide layout still quarters the step count).
@@ -1186,9 +1195,11 @@ def _occluded(nodes_ref, tris_ref, aux_ref, sx, sy, sz, ldx, ldy, ldz,
                               sp, cursor >= 0,
                               [(sx, sy, sz, inv_x, inv_y, inv_z, best)],
                               arity, ordered=occ_mode)
+            # the prune bound is a per-step cross-lane reduction — skip
+            # it entirely when pruning is off (cfg.stale_prune)
             cursor, sp = _wide_pop(stack_ref, stack_tn_ref, sp,
-                                   jnp.max(best),
-                                   prune="noprune" not in dbg_set)
+                                   jnp.max(best) if prune else 0.0,
+                                   prune=prune)
             return cursor, sp, best
 
         def cond_w(c):
@@ -1289,7 +1300,8 @@ def trace_segment(packed: PackedBVH, aux: jnp.ndarray, depth: jnp.ndarray,
                   light_cull: float = 0.0, tri_isect: str = "mt",
                   record_soft: bool = False,
                   shadow_batch: bool = False, dbg: str = "",
-                  fork: bool = False, has_mesh: bool = True):
+                  fork: bool = False, has_mesh: bool = True,
+                  stale_prune: bool = True):
     """One fused bounce segment over all rays.
 
     Returns ``(delta [N,3], o' [N,3], d' [N,3], thr' [N,3], tmax' [N])``:
@@ -1395,7 +1407,8 @@ def trace_segment(packed: PackedBVH, aux: jnp.ndarray, depth: jnp.ndarray,
                           bw_rows=packed.bw_rows_per_leaf,
                           record_soft=record_soft,
                           shadow_batch=shadow_batch, dbg=dbg,
-                          fork=fork, has_mesh=has_mesh),
+                          fork=fork, has_mesh=has_mesh,
+                          stale_prune=stale_prune),
         grid=grid,
         in_specs=[smem1,
                   tile, tile, tile, tile, tile, tile, tile,

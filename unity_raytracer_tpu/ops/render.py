@@ -157,6 +157,7 @@ def _trace_chain_mega(scene: Scene, o: jnp.ndarray, d: jnp.ndarray,
               light_cull=cfg.light_cull,
               tri_isect=cfg.tri_isect,
               shadow_batch=cfg.shadow_batch,
+              stale_prune=cfg.stale_prune,
               dbg=cfg.dbg)
 
     acc0 = jnp.zeros((n_rays, 3), jnp.float32)
@@ -467,6 +468,7 @@ def _trace_tree_mega(scene: Scene, o: jnp.ndarray, d: jnp.ndarray,
               light_cull=cfg.light_cull,
               tri_isect=cfg.tri_isect if has_mesh else "mt",
               shadow_batch=cfg.shadow_batch,
+              stale_prune=cfg.stale_prune,
               fork=True, has_mesh=has_mesh)
 
     acc = jnp.zeros((n_rays, 3), jnp.float32)

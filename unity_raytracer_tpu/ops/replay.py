@@ -109,6 +109,7 @@ def trace_records(scene: Scene, o: jnp.ndarray, d: jnp.ndarray,
               light_cull=cfg.light_cull,
               tri_isect=cfg.tri_isect,
               shadow_batch=cfg.shadow_batch,
+              stale_prune=cfg.stale_prune,
               record=True,
               record_soft=soft)
 

@@ -103,6 +103,19 @@ class RenderConfig:
     #                             per segment; 0 = exact. Applied
     #                             identically in the megakernel, the
     #                             composed path, and the replay.
+    stale_prune: bool = True    # wide walks (nearest + per-light
+    #                             occlusion): drop stack entries whose
+    #                             recorded entry distance exceeds the
+    #                             running max best_t before popping.
+    #                             Pruning saves visits but costs an
+    #                             inner pop loop PLUS a cross-lane max
+    #                             reduction per step to maintain the
+    #                             bound; r5 decomposition measured the
+    #                             machinery costlier than the visits it
+    #                             saves on the flagship (dbg_noprune
+    #                             80.1ms vs 85.0ms). False skips both.
+    #                             Exact either way (boxes still cull
+    #                             against per-lane best_t).
     occ_mode: str = "sort"      # occlusion-walk push discipline:
     #                             'sort' (near-first + prune), 'keys'
     #                             (prune, no sort network), 'none' —
