@@ -303,12 +303,15 @@ def run_once(name="mesh100k", width=None, height=None, repeats=3,
     # docs/KERNELS.md r4 section); both model inputs are printed so the
     # fraction is auditable. Flagship-scene-specific; scaled by pixel
     # count for other resolutions of the same scene.
-    # keyed by (tri_isect, bvh_leaf); note leaf 98 MODELS more flops
-    # than 56 yet MEASURES faster — the regime is step-overhead-bound,
-    # not leaf-flop-bound, which is why the attained fraction at the
-    # shipped leaf-98 config reads higher (0.73) than at 56 (0.61)
-    MODEL_GFLOP_1080P = {("mt", 56): 164.6, ("bw", 56): 111.3,
-                         ("mt", 98): 201.9, ("bw", 98): 129.5}
+    # keyed by (tri_isect, bvh_leaf, sah_bins); note leaf 98 MODELS
+    # more flops than 56 yet MEASURES faster — the regime is
+    # step-overhead-bound, not leaf-flop-bound. The bins-64 entry is
+    # the r5 re-derivation (scripts/roofline_r5.py, same full-frame
+    # union-walk method) for the shipped finer-SAH tree.
+    MODEL_GFLOP_1080P = {("mt", 56, 16): 164.6, ("bw", 56, 16): 111.3,
+                         ("mt", 98, 16): 201.9, ("bw", 98, 16): 129.5,
+                         ("bw", 98, 32): 125.7, ("bw", 98, 64): 123.5,
+                         ("bw", 140, 16): 146.2, ("bw", 196, 16): 170.6}
     # measured counted-ops/s of a 65536-lane fused mul/add/min/max/select
     # chain on this chip (r4 session, docs/measurements/tpu_r4.jsonl
     # step="vpu") — the realistic VPU ceiling for leaf-test-shaped code
@@ -317,7 +320,8 @@ def run_once(name="mesh100k", width=None, height=None, repeats=3,
     model_gflop = None
     if name == "mesh100k" and kernel == "mega":
         key = (getattr(cfg, "tri_isect", "mt"),
-               getattr(cfg, "bvh_leaf", 56))
+               getattr(cfg, "bvh_leaf", 56),
+               getattr(cfg, "bvh_bins", 16))
         base = MODEL_GFLOP_1080P.get(key)
         if base:
             model_gflop = base * (cam.width * cam.height) / (1920 * 1080)

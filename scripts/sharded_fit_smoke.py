@@ -1,16 +1,24 @@
 """Frame-scale sharded-fit smoke (VERDICT r4 weak #6 / r5 ask #8).
 
-Runs ``make_sharded_train_step`` on the CONFIG-5 shape — the 100k-tri
-BVH scene at full 1080p — over the virtual 8-device CPU mesh, a few
-real optimizer steps, and records wall-clock + peak RSS to
+Runs ``make_sharded_train_step`` on the CONFIG-5 scene (100k-tri BVH,
+mesh100k) over virtual CPU devices and records wall-clock + peak RSS to
 ``docs/measurements/sharded_fit_smoke_r5.json``.
 
-Honest caveats (recorded in the artifact): virtual CPU devices prove
-the memory/sharding story end-to-end (the step compiles, executes, and
-descends at frame scale), NOT real scaling — all 8 "devices" share this
-host's two cores, so wall-clock is an upper bound with no ICI in play.
-Depth is reduced to 1 to keep the CPU wall-clock tractable; the lane
-count (2.07M rays) and parameter classes are the config-5 ones.
+Two runs, because of an XLA:CPU environment limit discovered by the
+first attempt (recorded in the artifact): the in-process all-reduce
+rendezvous hard-aborts when participants arrive > 40s apart, and with
+8 heavyweight shard programs on this 2-core host the whole-program
+thunks serialize, so the full-1080p 8-device step ALWAYS trips it
+(F rendezvous.cc:127 "Termination timeout ... 40 seconds"). So:
+
+* 2 devices x FULL 1920x1080 — frame-scale memory + the grad
+  all-reduce at the real lane count (2 devices progress fairly on 2
+  cores);
+* 8 devices x 960x540 — the 8-way collective harness at a per-shard
+  size whose skew stays under the rendezvous limit.
+
+Virtual CPU devices prove the memory/sharding story end-to-end, NOT
+real scaling (no ICI; wall-clock is an upper bound).
 
 Usage: python scripts/sharded_fit_smoke.py [steps]
 """
@@ -35,33 +43,33 @@ import numpy as np  # noqa: E402
 import optax  # noqa: E402
 
 
-def main():
-    steps = int(sys.argv[1]) if len(sys.argv) > 1 else 2
-
+def run(n_dev: int, width: int, height: int, steps: int):
     from unity_raytracer_tpu.fit import get_params
     from unity_raytracer_tpu.models.camera import generate_rays
-    from unity_raytracer_tpu.models.presets import mesh100k
+    from unity_raytracer_tpu.models.presets import mesh_scene
     from unity_raytracer_tpu.ops import bvh as bvhmod
     from unity_raytracer_tpu.ops.render import render, resolve_mode
     from unity_raytracer_tpu.parallel import mesh as meshmod
     from unity_raytracer_tpu.parallel.shard import make_sharded_train_step
     from jax.sharding import NamedSharding, PartitionSpec as P
 
-    t_all = time.time()
-    scene, cam, cfg = mesh100k()
-    # depth 1 keeps the CPU smoke tractable; rays stay full 1080p
+    scene, cam, cfg = mesh_scene(102400, width=width, height=height)
+    # depth 1 keeps the CPU smoke tractable; lane count is what matters
     cfg = resolve_mode(scene, cfg.with_(
         use_bvh=True, kernel="xla", max_bounces=1, remat=True))
     bvh = bvhmod.prepare_bvh(scene, cfg)
-    mesh = meshmod.make_mesh((8, 1))
+    mesh = meshmod.make_mesh((n_dev, 1),
+                             devices=jax.devices()[:n_dev])
 
     t0 = time.time()
-    target = np.asarray(render(scene, cam, cfg, bvh=bvh))
+    target = np.asarray(render(scene, cam,
+                               cfg.with_(ray_chunk=1 << 19), bvh=bvh))
     target_s = time.time() - t0
+    print(f"[{n_dev}dev {width}x{height}] target {target_s:.0f}s",
+          flush=True)
 
     names = ("sphere_centers", "sphere_diffuse", "light_intensities")
-    params = {k: v + 0.05 for k, v in
-              get_params(scene, names).items()}
+    params = {k: v + 0.05 for k, v in get_params(scene, names).items()}
     tx = optax.adam(1e-2)
     opt_state = tx.init(params)
 
@@ -78,32 +86,43 @@ def main():
     for i in range(steps):
         params, opt_state, loss = step(params, opt_state, o, d, tgt)
         losses.append(float(loss))
-        print(f"step {i} loss {float(loss):.6e} "
+        print(f"[{n_dev}dev] step {i} loss {float(loss):.6e} "
               f"({time.time() - t0:.0f}s)", flush=True)
     wall = time.time() - t0
-    peak_rss_gb = resource.getrusage(
-        resource.RUSAGE_SELF).ru_maxrss / 1e6
-
-    rec = {
-        "what": "config-5 sharded fit smoke: mesh100k (102400-tri BVH) "
-                "at FULL 1920x1080 (2.07M rays), 8-device virtual CPU "
-                "mesh, make_sharded_train_step (rays over dp, grad "
-                "psum in shard_map backward), depth 1, composed XLA "
-                "path + remat",
-        "caveat": "virtual CPU devices on a 2-core host: proves the "
-                  "memory story and that the step compiles/executes/"
-                  "descends at frame scale — NOT a scaling number "
-                  "(no real ICI; wall-clock is an upper bound)",
-        "devices": 8,
-        "steps": steps,
-        "losses": losses,
-        "descending": bool(len(losses) < 2 or losses[-1] <= losses[0]),
+    return {
+        "devices": n_dev, "width": width, "height": height,
+        "rays": width * height, "steps": steps, "losses": losses,
+        "descending": bool(losses[-1] < losses[0]),
         "target_render_s": round(target_s, 1),
         "fit_wall_s": round(wall, 1),
         "s_per_step_incl_compile": round(wall / max(steps, 1), 1),
-        "peak_rss_gb": round(peak_rss_gb, 2),
-        "total_wall_s": round(time.time() - t_all, 1),
     }
+
+
+def main():
+    steps = int(sys.argv[1]) if len(sys.argv) > 1 else 2
+    t_all = time.time()
+    rec = {
+        "what": "config-5 sharded-fit smoke: mesh100k (102400-tri BVH) "
+                "on virtual CPU devices, make_sharded_train_step (rays "
+                "over dp, grad psum in shard_map backward), depth 1, "
+                "composed XLA path + remat",
+        "caveat": "virtual CPU devices on a 2-core host prove the "
+                  "memory story and that the step compiles/executes/"
+                  "descends at frame scale — NOT a scaling number (no "
+                  "real ICI). The 8-device FULL-1080p step aborts in "
+                  "XLA:CPU's in-process all-reduce rendezvous "
+                  "(participants must arrive within 40s; 8 "
+                  "whole-program shard thunks serialize on 2 cores) — "
+                  "an environment limit with no flag, hence the "
+                  "2-device full-frame + 8-device quarter-frame pair.",
+        "runs": [],
+    }
+    rec["runs"].append(run(2, 1920, 1080, steps))
+    rec["runs"].append(run(8, 960, 540, steps))
+    rec["peak_rss_gb"] = round(
+        resource.getrusage(resource.RUSAGE_SELF).ru_maxrss / 1e6, 2)
+    rec["total_wall_s"] = round(time.time() - t_all, 1)
     out = "/root/repo/docs/measurements/sharded_fit_smoke_r5.json"
     with open(out, "w") as f:
         json.dump(rec, f, indent=1)

@@ -200,13 +200,21 @@ def mesh_scene(n_tris: int = 10240, width: int = 1024, height: int = 1024,
     # 83.9ms / 494M (flat 98-112; tpu_r4h.jsonl fatleaf). light_cull
     # stays 0 (exact); light_cull=4.0 is the measured bounded-error perf
     # mode (62.5ms, mean-radiance drift 0.26%).
+    # r5 (all exact — probe drift 0.0; docs/measurements/tpu_r5*.jsonl):
+    # bvh_bins=64 (finer SAH sweep: -6% frame), stale_prune=False (the
+    # prune loop + its cross-lane max bound cost more than the visits
+    # they save), occ_mode='pack' (per-child hit tests packed into 2
+    # int32 sum reductions), near_mode stays 'sort' (ordered descent
+    # measured 8ms better than pack for nearest — best_t tightens
+    # sooner). 85.0 -> 68.9-70.2ms, 491 -> ~600M rays/s.
     # fat leaves only pay off on big meshes; small test/dryrun scenes
     # keep 14-tri leaves (the Pallas INTERPRETER executes the full
     # static leaf unroll per visit — 98 slots would be minutes of CI)
     cfg = RenderConfig(max_bounces=4, background=(0.04, 0.05, 0.07),
                        use_bvh=use_bvh, tile_r=2048, walk_unroll=2,
                        bvh_leaf=98 if n_tris >= 10_000 else 14,
-                       fuse_shadows=False, tri_isect="bw")
+                       fuse_shadows=False, tri_isect="bw",
+                       bvh_bins=64, stale_prune=False, occ_mode="pack")
     return scene, cam, cfg
 
 

@@ -472,7 +472,7 @@ def _kernel(depth_ref,
             bw_rows: int = 0, record_soft: bool = False,
             shadow_batch: bool = False, dbg: str = "",
             fork: bool = False, has_mesh: bool = True,
-            stale_prune: bool = True):
+            stale_prune: bool = True, near_mode: str = "sort"):
     # dbg: comma-separated step-overhead decomposition switches (NOT
     # semantics-preserving — A/B instrumentation only, bench/session use):
     #   nonear    skip the nearest mesh walk (spheres/tris/shade remain)
@@ -669,12 +669,11 @@ def _kernel(depth_ref,
                 is_leafe, leaf_branch, lambda a: a,
                 (best_t, bnx, bny, bnz, bmat, cur_max))
             node = jnp.maximum(cursor, 0)
+            nm = "none" if "nosort" in dbg_set else near_mode
             sp = _wide_expand(nodes_ref, stack_ref, stack_tn_ref,
                               node, sp, cursor >= 0,
                               [(ox, oy, oz, inv_dx, inv_dy, inv_dz,
-                                best_t)], arity,
-                              ordered=("none" if "nosort" in dbg_set
-                                       else "sort"))
+                                best_t)], arity, ordered=nm)
             cursor, sp = _wide_pop(stack_ref, stack_tn_ref, sp, cur_max,
                                    prune=prune)
             return cursor, sp, cur_max, best_t, bnx, bny, bnz, bmat
@@ -1301,7 +1300,7 @@ def trace_segment(packed: PackedBVH, aux: jnp.ndarray, depth: jnp.ndarray,
                   record_soft: bool = False,
                   shadow_batch: bool = False, dbg: str = "",
                   fork: bool = False, has_mesh: bool = True,
-                  stale_prune: bool = True):
+                  stale_prune: bool = True, near_mode: str = "sort"):
     """One fused bounce segment over all rays.
 
     Returns ``(delta [N,3], o' [N,3], d' [N,3], thr' [N,3], tmax' [N])``:
@@ -1408,7 +1407,7 @@ def trace_segment(packed: PackedBVH, aux: jnp.ndarray, depth: jnp.ndarray,
                           record_soft=record_soft,
                           shadow_batch=shadow_batch, dbg=dbg,
                           fork=fork, has_mesh=has_mesh,
-                          stale_prune=stale_prune),
+                          stale_prune=stale_prune, near_mode=near_mode),
         grid=grid,
         in_specs=[smem1,
                   tile, tile, tile, tile, tile, tile, tile,

@@ -86,6 +86,12 @@ def wide_expand(nodes_ref, stack_ref, stack_tn_ref, node, sp, expand,
       only fires once every lane has retired (cheapest per step, most
       steps). The sort-vs-keys-vs-none trade for occlusion walks is an
       empirical question (cfg.occ_mode) settled by the r3 sweep.
+    * ``'pack'`` — 'none' with the per-child any-lane-hit tests packed
+      into int32 bitfield SUMS: 2 cross-lane reductions decide all 4
+      children instead of one min-reduction each (reductions, not
+      flops, are the measured per-step cost driver — r3/r5
+      decompositions). Single-ray-set walks only; falls back to 'none'
+      for fused multi-set walks.
 
     Cross-lane reductions are the measured per-step cost driver (VPU
     reductions, not flops): the per-set entry distances are combined
@@ -94,6 +100,64 @@ def wide_expand(nodes_ref, stack_ref, stack_tn_ref, node, sp, expand,
     """
     mode = ("sort" if ordered is True else
             "none" if ordered is False else ordered)
+    if mode == "pack" and len(rays) != 1:
+        mode = "none"
+
+    if mode == "pack":
+        # packed hit decisions: accumulate per-child any-lane-hit as
+        # 13-bit count fields of int32 sums (lane counts <= 4096 fit),
+        # two children per reduction — halves the per-step cross-lane
+        # reduction count vs one min per child. Push keys are 0.0 (no
+        # ordering, like 'none'); push decisions are IDENTICAL.
+        (ox, oy, oz, inv_x, inv_y, inv_z, best_t) = rays[0]
+        lane_hits = []
+        encs = []
+        for cslot in range(arity):
+            b = 8 * cslot
+            lx = nodes_ref[node, b]
+            ly = nodes_ref[node, b + 1]
+            lz = nodes_ref[node, b + 2]
+            hx = nodes_ref[node, b + 3]
+            hy = nodes_ref[node, b + 4]
+            hz = nodes_ref[node, b + 5]
+            meta = nodes_ref[node, b + 6].astype(jnp.int32)
+            cnt = nodes_ref[node, b + 7]
+            t1 = (lx - ox) * inv_x
+            t2 = (hx - ox) * inv_x
+            tn = jnp.minimum(t1, t2)
+            tf = jnp.maximum(t1, t2)
+            t1 = (ly - oy) * inv_y
+            t2 = (hy - oy) * inv_y
+            tn = jnp.maximum(tn, jnp.minimum(t1, t2))
+            tf = jnp.minimum(tf, jnp.maximum(t1, t2))
+            t1 = (lz - oz) * inv_z
+            t2 = (hz - oz) * inv_z
+            tn = jnp.maximum(tn, jnp.minimum(t1, t2))
+            tf = jnp.minimum(tf, jnp.maximum(t1, t2))
+            tn = jnp.maximum(tn, 0.0)
+            lane_hit = (tn <= tf) & (tn <= best_t)
+            # absent/scalar gates fold into the scalar push predicate
+            lane_hits.append((lane_hit.astype(jnp.int32), cnt >= 0.0))
+            encs.append(jnp.where(cnt > 0.0, -(meta + 2), meta))
+        hit_cs = []
+        for i in range(0, arity, 2):
+            a = lane_hits[i][0]
+            packv = (a + (lane_hits[i + 1][0] << 13)
+                     if i + 1 < arity else a)
+            s = jnp.sum(packv)
+            hit_cs.append((s & 0x1FFF) > 0)
+            if i + 1 < arity:
+                hit_cs.append((s >> 13) > 0)
+        for i in range(arity - 1, -1, -1):
+            h = hit_cs[i] & expand & lane_hits[i][1]
+
+            @pl.when(h)
+            def _(i=i, sp=sp):
+                stack_ref[sp] = encs[i]
+                stack_tn_ref[sp] = 0.0
+            sp = jnp.where(h, sp + 1, sp)
+        return sp
+
     keys = []
     encs = []
     for cslot in range(arity):

@@ -158,6 +158,7 @@ def _trace_chain_mega(scene: Scene, o: jnp.ndarray, d: jnp.ndarray,
               tri_isect=cfg.tri_isect,
               shadow_batch=cfg.shadow_batch,
               stale_prune=cfg.stale_prune,
+              near_mode=cfg.near_mode,
               dbg=cfg.dbg)
 
     acc0 = jnp.zeros((n_rays, 3), jnp.float32)
@@ -469,6 +470,7 @@ def _trace_tree_mega(scene: Scene, o: jnp.ndarray, d: jnp.ndarray,
               tri_isect=cfg.tri_isect if has_mesh else "mt",
               shadow_batch=cfg.shadow_batch,
               stale_prune=cfg.stale_prune,
+              near_mode=cfg.near_mode,
               fork=True, has_mesh=has_mesh)
 
     acc = jnp.zeros((n_rays, 3), jnp.float32)

@@ -110,6 +110,7 @@ def trace_records(scene: Scene, o: jnp.ndarray, d: jnp.ndarray,
               tri_isect=cfg.tri_isect,
               shadow_batch=cfg.shadow_batch,
               stale_prune=cfg.stale_prune,
+              near_mode=cfg.near_mode,
               record=True,
               record_soft=soft)
 

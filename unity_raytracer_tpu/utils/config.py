@@ -118,9 +118,18 @@ class RenderConfig:
     #                             against per-lane best_t).
     occ_mode: str = "sort"      # occlusion-walk push discipline:
     #                             'sort' (near-first + prune), 'keys'
-    #                             (prune, no sort network), 'none' —
-    #                             measured within 1.5% of each other
-    #                             (docs/KERNELS.md r3)
+    #                             (prune, no sort network), 'none',
+    #                             'pack' ('none' with per-child hit
+    #                             tests packed into 2 int32 sum
+    #                             reductions instead of 4 mins — the
+    #                             r5 measured win, exact)
+    near_mode: str = "sort"     # nearest-walk push discipline: 'sort'
+    #                             (near-first ordered descent) or
+    #                             'pack' (unordered, packed hit
+    #                             reductions). Both exact — ordering
+    #                             tightens best_t sooner (fewer leaf
+    #                             visits) but costs per-child key
+    #                             reductions + the sort network
     tree_cap: int = 4           # tree mode (refraction): max live-lane
     #                             capacity as a multiple of the primary
     #                             ray count. Each level's (reflect,
