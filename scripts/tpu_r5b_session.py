@@ -28,7 +28,10 @@ import numpy as np
 sys.path.insert(0, "/root/repo")
 
 OUT = sys.argv[1] if len(sys.argv) > 1 else "/tmp/tpu_r5b.jsonl"
-STEPS = sys.argv[2:] or ["cornell", "meshfit", "aot"]
+# aot BEFORE meshfit: the meshfit target render (XLA-path traversal on
+# the remote chip) crashed the TPU worker once; a crash kills the
+# process backend, so the riskier step goes last
+STEPS = sys.argv[2:] or ["cornell", "aot", "meshfit"]
 
 
 def emit(**rec):
@@ -99,10 +102,10 @@ def main():
         from unity_raytracer_tpu.ops.render import render
         from unity_raytracer_tpu.utils.config import DiffConfig
 
-        fscene, fcam, fcfg = mesh_scene(10240, width=256, height=256)
+        fscene, fcam, fcfg = mesh_scene(10240, width=192, height=192)
         fcfg = resolve_mode(fscene, fcfg.with_(
             use_bvh=True, kernel="xla", max_bounces=1, bvh_pad=0.4,
-            ray_chunk=256 * 256 // 2, remat=True))
+            ray_chunk=192 * 192 // 4, remat=True))
         fbvh = bvhmod.prepare_bvh(fscene, fcfg)
         target = render(fscene, fcam, fcfg, bvh=fbvh)
         true_v = np.asarray(fscene.meshes.verts)
@@ -143,7 +146,7 @@ def main():
         err1 = float((1 - (fnorm(np.asarray(
             res.params["mesh_verts"])[facing]) * n_true).sum(1)).mean())
         rec = {
-            "scene": "mesh10k (10240-tri icosphere BVH), 256x256, "
+            "scene": "mesh10k (10240-tri icosphere BVH), 192x192, "
                      "depth 1: 40 camera-facing triangles TILTED (v0 "
                      "moved 0.3 along the face normal); mesh-VERTEX "
                      "recovery on the composed XLA path (bind_verts + "

@@ -474,14 +474,29 @@ def _trace_tree_mega(scene: Scene, o: jnp.ndarray, d: jnp.ndarray,
               fork=True, has_mesh=has_mesh)
 
     acc = jnp.zeros((n_rays, 3), jnp.float32)
-    parent = jnp.arange(n_rays, dtype=jnp.int32)
-    weight = jnp.ones((n_rays, 3), jnp.float32)
-    tmax = jnp.full((n_rays,), 3.0e38, jnp.float32)
+    # pad to whole kernel tiles once: the dead-tile compaction below
+    # works at tile granularity
+    tile = cfg.tile_r
+    pad = (-n_rays) % tile
+    z3 = jnp.zeros((pad, 3), jnp.float32).at[:, 2].set(1.0)
+    o = jnp.concatenate([o, z3], axis=0) if pad else o
+    d = jnp.concatenate([d, z3], axis=0) if pad else d
+    parent = jnp.concatenate(
+        [jnp.arange(n_rays, dtype=jnp.int32),
+         jnp.zeros((pad,), jnp.int32)])
+    weight = jnp.concatenate(
+        [jnp.ones((n_rays, 3), jnp.float32),
+         jnp.zeros((pad, 3), jnp.float32)])
+    tmax = jnp.concatenate(
+        [jnp.full((n_rays,), 3.0e38, jnp.float32),
+         jnp.full((pad,), -1.0, jnp.float32)])
 
+    cap_tiles = -(-((cfg.tree_cap or 0) * n_rays) // tile)
     for level in range(cfg.max_bounces + 1):
         delta, ro, rd, w_re, tm_re, to, td, w_tr, tm_tr = trace_segment(
             packed, aux, level, o, d, weight, tmax, **kw)
-        acc = acc.at[parent].add(delta)
+        # pad lanes carry parent 0 with weight 0 -> add exactly nothing
+        acc = acc.at[parent].add(delta, mode="drop")
         if level == cfg.max_bounces:
             break
         o = jnp.concatenate([ro, to], axis=0)
@@ -489,25 +504,41 @@ def _trace_tree_mega(scene: Scene, o: jnp.ndarray, d: jnp.ndarray,
         weight = jnp.concatenate([w_re, w_tr], axis=0)
         parent = jnp.concatenate([parent, parent], axis=0)
         tmax = jnp.concatenate([tm_re, tm_tr], axis=0)
-        # dead-fork compaction — same discipline (and the same ONE
-        # packed gather) as _trace_tree
-        cap = (cfg.tree_cap or 0) * n_rays
-        if cap and o.shape[0] > cap:
-            live = (tmax >= 0.0) & jnp.any(weight != 0.0, axis=-1)
-            score = jnp.where(live, jnp.sum(jnp.abs(weight), axis=-1),
-                              -1.0)
-            order = jnp.argsort(-score)[:cap]
+        # TILE-granular dead-fork compaction: drop all-dead tiles with
+        # a cumsum + a few-hundred-row gather. The first fused-fork cut
+        # used _trace_tree's per-lane argsort compaction, which
+        # dominated the 512^2 frame (per-lane sorts at ~1M lanes);
+        # row-gather cost scales with ROW COUNT (r4 lesson), and tiles
+        # are the rows here. Live lanes are block-coherent (children
+        # inherit their parent's slot), so live tiles are few; order
+        # inside tiles is preserved. When the tile budget (tree_cap,
+        # rounded up to tiles) overflows, LAST live tiles drop —
+        # cruder than the composed path's weakest-weight-first lane
+        # culling, but the shipped cornell cap is lossless anyway.
+        n_tiles = o.shape[0] // tile
+        if cap_tiles and n_tiles > cap_tiles:
+            live_t = jnp.any((tmax >= 0.0).reshape(n_tiles, tile),
+                             axis=1)
+            pos = jnp.cumsum(live_t.astype(jnp.int32)) - 1
+            src = jnp.where(live_t & (pos < cap_tiles), pos, cap_tiles)
+            idx = jnp.zeros((cap_tiles + 1,), jnp.int32).at[src].set(
+                jnp.arange(n_tiles, dtype=jnp.int32),
+                mode="drop")[:cap_tiles]
+            n_live = jnp.sum(live_t.astype(jnp.int32))
+            slot_ok = jnp.arange(cap_tiles) < n_live
             state = jnp.concatenate(
                 [o, d, weight,
                  jax.lax.bitcast_convert_type(parent,
                                               jnp.float32)[:, None],
-                 live.astype(jnp.float32)[:, None]], axis=1)
-            sel = jnp.take(state, order, axis=0)
+                 tmax[:, None]], axis=1)          # [n, 11]
+            sel = jnp.take(state.reshape(n_tiles, tile * 11), idx,
+                           axis=0).reshape(cap_tiles * tile, 11)
             o = sel[:, 0:3]
             d = sel[:, 3:6]
             weight = sel[:, 6:9]
             parent = jax.lax.bitcast_convert_type(sel[:, 9], jnp.int32)
-            tmax = jnp.where(sel[:, 10] > 0.5, 3.0e38, -1.0)
+            tmax = jnp.where(
+                jnp.repeat(slot_ok, tile), sel[:, 10], -1.0)
     return acc
 
 
