@@ -79,14 +79,24 @@ def main():
         {"leaf": 98, "bins": 64},
         {"leaf": 140, "bins": 16},
         {"leaf": 196, "bins": 16},
+        # r5b: SBVH-style spatial presplitting (VERDICT r4 ask #1a) on
+        # top of the shipped bins64 tree
+        {"leaf": 98, "bins": 64, "presplit": 0.3},
+        {"leaf": 98, "bins": 64, "presplit": 1.0},
     ]
+    only = sys.argv[2] if len(sys.argv) > 2 else None
 
     results = {}
     for cand in candidates:
         leaf, bins = cand["leaf"], cand["bins"]
+        ps = cand.get("presplit", 0.0)
+        name = f"leaf{leaf}_bins{bins}" + (f"_ps{ps}" if ps else "")
+        if only and only not in name:
+            continue
         t0 = time.time()
         packed = bvhmod.prepare_bvh(
-            scene, cfg0.with_(bvh_leaf=leaf, bvh_bins=bins))
+            scene, cfg0.with_(bvh_leaf=leaf, bvh_bins=bins,
+                              bvh_presplit=ps))
         wk = WideWalker(packed)
         build_s = time.time() - t0
 
@@ -241,7 +251,7 @@ def main():
                     seg1["live_in_tiles"] / max(seg1["tiles"] * TILE, 1),
             },
         }
-        results[f"leaf{leaf}_bins{bins}"] = row
+        results[name] = row
         print(json.dumps(row), flush=True)
 
     with open(out_path, "w") as f:

@@ -171,10 +171,110 @@ class MeshBVH:
         return self.first.shape[0]
 
 
+def _clip_tri_halfspaces(tri: np.ndarray, axis: np.ndarray,
+                         split: np.ndarray
+                         ) -> Tuple[np.ndarray, np.ndarray,
+                                    np.ndarray, np.ndarray]:
+    """Vectorized Sutherland–Hodgman clip of triangles against the
+    axis-aligned plane ``x[axis] = split``, returning the AABBs of the
+    two clipped polygons: (lo_left, hi_left, lo_right, hi_right).
+
+    tri: [K,3,3]; axis: [K] int; split: [K]. A side with no vertices
+    yields an inverted (empty) box.
+    """
+    k = tri.shape[0]
+    coord = np.take_along_axis(
+        tri, axis[:, None, None].repeat(3, 1), axis=2)[..., 0]  # [K,3]
+    lo_l = np.full((k, 3), np.inf)
+    hi_l = np.full((k, 3), -np.inf)
+    lo_r = np.full((k, 3), np.inf)
+    hi_r = np.full((k, 3), -np.inf)
+
+    def acc(pmask, pts, lo, hi):
+        p = np.where(pmask[:, None], pts, np.inf)
+        np.minimum(lo, p, out=lo)
+        p = np.where(pmask[:, None], pts, -np.inf)
+        np.maximum(hi, p, out=hi)
+
+    for i in range(3):
+        j = (i + 1) % 3
+        vi, vj = tri[:, i], tri[:, j]
+        ci, cj = coord[:, i], coord[:, j]
+        acc(ci <= split, vi, lo_l, hi_l)
+        acc(ci >= split, vi, lo_r, hi_r)
+        crosses = (ci - split) * (cj - split) < 0
+        denom = np.where(np.abs(cj - ci) < 1e-30, 1e-30, cj - ci)
+        t = np.clip((split - ci) / denom, 0.0, 1.0)
+        pt = vi + t[:, None] * (vj - vi)
+        # the intersection point lies exactly on the plane: force the
+        # split coordinate so fp error can't leak the box across it
+        np.put_along_axis(pt, axis[:, None], split[:, None], axis=1)
+        acc(crosses, pt, lo_l, hi_l)
+        acc(crosses, pt, lo_r, hi_r)
+    return lo_l, hi_l, lo_r, hi_r
+
+
+def presplit_refs(tris: np.ndarray, budget_frac: float
+                  ) -> Tuple[np.ndarray, np.ndarray, np.ndarray]:
+    """SBVH-style spatial presplitting (Ernst–Greiner early split
+    clipping): produce build REFERENCES (tri_index, clipped AABB) where
+    oversized triangles appear multiple times with sub-boxes, letting
+    the binned-SAH build below place each piece in the spatially right
+    subtree instead of bloating one node's bounds.
+
+    Returns (ref_tri [R], ref_lo [R,3], ref_hi [R,3]) with
+    R <= len(tris) * (1 + budget_frac). Splits are taken largest-
+    surface-area first, each at the midpoint of the ref box's longest
+    axis, with the triangle polygon clipped to both halves (AABB of the
+    clipped polygon, intersected with the parent ref box).
+    """
+    m = tris.shape[0]
+    budget = int(m * budget_frac)
+    ref_tri = np.arange(m, dtype=np.int64)
+    ref_lo = tris.min(axis=1).astype(np.float64)
+    ref_hi = tris.max(axis=1).astype(np.float64)
+    while budget > 0:
+        ext = ref_hi - ref_lo
+        d = np.maximum(ext, 0)
+        area = d[:, 0] * d[:, 1] + d[:, 1] * d[:, 2] + d[:, 2] * d[:, 0]
+        k = min(budget, max(256, budget // 4))
+        k = min(k, len(area))
+        top = np.argpartition(area, -k)[-k:]
+        # don't split refs already degenerate in their longest axis
+        top = top[ext[top].max(axis=1) > 1e-12]
+        if top.size == 0:
+            break
+        axis = np.argmax(ext[top], axis=1)
+        split = 0.5 * (np.take_along_axis(ref_lo[top], axis[:, None], 1)
+                       + np.take_along_axis(ref_hi[top], axis[:, None],
+                                            1))[:, 0]
+        t = tris[ref_tri[top]].astype(np.float64)
+        lo_l, hi_l, lo_r, hi_r = _clip_tri_halfspaces(t, axis, split)
+        # clamp each half to the parent ref box (refs may already be
+        # tighter than the full triangle from earlier splits)
+        lo_l = np.maximum(lo_l, ref_lo[top])
+        hi_l = np.minimum(hi_l, ref_hi[top])
+        lo_r = np.maximum(lo_r, ref_lo[top])
+        hi_r = np.minimum(hi_r, ref_hi[top])
+        ok = ((hi_l >= lo_l).all(1) & (hi_r >= lo_r).all(1))
+        top, lo_l, hi_l, lo_r, hi_r = (top[ok], lo_l[ok], hi_l[ok],
+                                       lo_r[ok], hi_r[ok])
+        if top.size == 0:
+            break
+        ref_lo[top] = lo_l
+        ref_hi[top] = hi_l
+        ref_tri = np.concatenate([ref_tri, ref_tri[top]])
+        ref_lo = np.concatenate([ref_lo, lo_r])
+        ref_hi = np.concatenate([ref_hi, hi_r])
+        budget -= top.size
+    return (ref_tri.astype(np.int32), ref_lo.astype(np.float32),
+            ref_hi.astype(np.float32))
+
+
 def build(verts: np.ndarray, valid: np.ndarray | None = None,
           leaf_size: int = LEAF_SIZE, use_sah: bool = True,
           backend: str = "auto", sah_bins: int = SAH_BINS,
-          aabb_pad: float = 0.0) -> MeshBVH:
+          aabb_pad: float = 0.0, presplit: float = 0.0) -> MeshBVH:
     """Build over triangle array [M,3,3]; invalid rows are excluded and the
     arrays re-padded with never-hit degenerate triangles.
 
@@ -206,7 +306,7 @@ def build(verts: np.ndarray, valid: np.ndarray | None = None,
             prim_index=jnp.zeros((1,), jnp.int32),
             leaf_size=leaf_size)
 
-    if backend in ("auto", "native"):
+    if backend in ("auto", "native") and not presplit:
         res = _build_native(tris, leaf_size, use_sah, sah_bins)
         if res is not None:
             node_min, node_max, first_a, count_a, miss_a, order_a = res
@@ -226,11 +326,20 @@ def build(verts: np.ndarray, valid: np.ndarray | None = None,
             raise RuntimeError("native BVH builder unavailable "
                                "(g++/make failed?)")
 
-    lo = tris.min(axis=1)             # [m,3] per-tri AABB
-    hi = tris.max(axis=1)
-    # the reference's centroid used 0.3333f (Triangle.cs:23); for splitting
-    # quality the exact factor is irrelevant — use the true mean
-    cent = tris.mean(axis=1)
+    if presplit:
+        ref_tri, lo, hi = presplit_refs(tris, presplit)
+        # SBVH binning keys off the REF BOX centroid (the clipped piece's
+        # position), not the full triangle's vertex mean
+        cent = 0.5 * (lo + hi)
+        m = ref_tri.shape[0]
+    else:
+        ref_tri = np.arange(m, dtype=np.int32)
+        lo = tris.min(axis=1)         # [m,3] per-tri AABB
+        hi = tris.max(axis=1)
+        # the reference's centroid used 0.3333f (Triangle.cs:23); for
+        # splitting quality the exact factor is irrelevant — use the
+        # true mean
+        cent = tris.mean(axis=1)
 
     order = np.arange(m, dtype=np.int32)
 
@@ -363,8 +472,8 @@ def build(verts: np.ndarray, valid: np.ndarray | None = None,
             stack.append((l, r))          # left's miss -> right
             stack.append((r, miss_of_i))  # right's miss -> node's miss
 
-    tri_leaf_order = tris[order]
-    prim_index = orig_idx[order]
+    tri_leaf_order = tris[ref_tri[order]]
+    prim_index = orig_idx[ref_tri[order]]
 
     nmin_arr = np.asarray(n_min, np.float32)
     nmax_arr = np.asarray(n_max, np.float32)
@@ -591,7 +700,8 @@ def prepare_bvh(scene, cfg):
         leaf = getattr(cfg, "bvh_leaf", PALLAS_LEAF) or PALLAS_LEAF
         bins = getattr(cfg, "bvh_bins", SAH_BINS) or SAH_BINS
         b = build(verts, np.asarray(scene.meshes.valid), leaf_size=leaf,
-                  sah_bins=bins, aabb_pad=pad)
+                  sah_bins=bins, aabb_pad=pad,
+                  presplit=getattr(cfg, "bvh_presplit", 0.0) or 0.0)
         packed = widen(
             pack_rows(dataclasses.replace(b, canonical=True,
                                           flip=flip_j),
@@ -616,7 +726,8 @@ def prepare_bvh(scene, cfg):
         return packed._replace(leafmeta=jnp.asarray(leafmeta))
     b = build(verts, np.asarray(scene.meshes.valid),
               sah_bins=getattr(cfg, "bvh_bins", SAH_BINS) or SAH_BINS,
-              aabb_pad=pad)
+              aabb_pad=pad,
+              presplit=getattr(cfg, "bvh_presplit", 0.0) or 0.0)
     return dataclasses.replace(b, canonical=True, flip=flip_j)
 
 

@@ -62,6 +62,13 @@ class RenderConfig:
     bvh_bins: int = 16          # binned-SAH builder bin count (finer
     #                             candidate splits at build-time cost;
     #                             16 is the shipped default)
+    bvh_presplit: float = 0.0   # SBVH-style spatial presplitting budget
+    #                             as a fraction of the mesh's triangle
+    #                             count (0.3 = up to 30% duplicated
+    #                             refs with clipped boxes). Routes the
+    #                             build through the numpy ref-based
+    #                             path (ops/bvh.presplit_refs); 0 =
+    #                             plain binned SAH (native builder)
     bvh_pad: float = 0.0        # inflate every BVH node box by this
     #                             margin: the tree stays conservative
     #                             (traversal exact) for mesh vertices
