@@ -143,3 +143,28 @@ def test_native_builder_matches_numpy(rng):
     hit = np.isfinite(np.asarray(t1))
     np.testing.assert_allclose(np.asarray(t1)[hit], np.asarray(t2)[hit],
                                rtol=1e-6)
+
+
+def test_presplit_equivalence(rng):
+    """SBVH-style spatial presplitting (build(presplit=...)) duplicates
+    refs with clipped boxes but must keep the hit set EXACT: every ray's
+    nearest (t, prim) matches brute force, including on a random soup
+    with wildly heterogeneous triangle sizes (the geometry presplitting
+    exists for)."""
+    m = 400
+    tris = (rng.normal(size=(m, 1, 3)) * 4
+            + rng.normal(size=(m, 3, 3)) * 0.7).astype(np.float32)
+    # make a handful of triangles huge so splitting actually fires
+    tris[:8] = (tris[:8] - tris[:8].mean(1, keepdims=True)) * 12 \
+        + tris[:8].mean(1, keepdims=True)
+    verts = jnp.asarray(tris)
+    b = bvhmod.build(tris, presplit=1.0)
+    assert b.tri_verts.shape[0] > m            # splitting actually fired
+    assert int(jnp.max(b.prim_index)) < m      # refs map to originals
+    o, d = _rand_rays(rng, 512, spread=5.0)
+    t_ref, i_ref = _brute(verts, o, d)
+    t_bvh, i_bvh, _ = bvhmod.traverse(b, o, d)
+    np.testing.assert_array_equal(np.asarray(i_bvh), i_ref)
+    hit = np.isfinite(t_ref)
+    np.testing.assert_allclose(np.asarray(t_bvh)[hit], t_ref[hit],
+                               rtol=1e-6, atol=1e-6)

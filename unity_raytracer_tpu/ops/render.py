@@ -473,7 +473,6 @@ def _trace_tree_mega(scene: Scene, o: jnp.ndarray, d: jnp.ndarray,
               near_mode=cfg.near_mode,
               fork=True, has_mesh=has_mesh)
 
-    acc = jnp.zeros((n_rays, 3), jnp.float32)
     # pad to whole kernel tiles once: the dead-tile compaction below
     # works at tile granularity
     tile = cfg.tile_r
@@ -481,9 +480,16 @@ def _trace_tree_mega(scene: Scene, o: jnp.ndarray, d: jnp.ndarray,
     z3 = jnp.zeros((pad, 3), jnp.float32).at[:, 2].set(1.0)
     o = jnp.concatenate([o, z3], axis=0) if pad else o
     d = jnp.concatenate([d, z3], axis=0) if pad else d
-    parent = jnp.concatenate(
-        [jnp.arange(n_rays, dtype=jnp.int32),
-         jnp.zeros((pad,), jnp.int32)])
+    n_tiles0 = o.shape[0] // tile
+    # children inherit their parent's LANE SLOT and compaction moves
+    # whole tiles (in-tile order preserved), so the lane->primary-ray
+    # mapping is tile-granular: parent_tile[j] names the primary tile
+    # lane j*tile..(j+1)*tile-1 folds into. The radiance scatter-add
+    # then runs over a few hundred TILE rows instead of ~1M lanes —
+    # per-lane scatters at that size were the measured dominant cost
+    # of this path (r4 cornell xprof; r5 per-lane acc.at[parent].add).
+    parent_tile = jnp.arange(n_tiles0, dtype=jnp.int32)
+    acc = jnp.zeros((n_tiles0, tile, 3), jnp.float32)
     weight = jnp.concatenate(
         [jnp.ones((n_rays, 3), jnp.float32),
          jnp.zeros((pad, 3), jnp.float32)])
@@ -495,14 +501,15 @@ def _trace_tree_mega(scene: Scene, o: jnp.ndarray, d: jnp.ndarray,
     for level in range(cfg.max_bounces + 1):
         delta, ro, rd, w_re, tm_re, to, td, w_tr, tm_tr = trace_segment(
             packed, aux, level, o, d, weight, tmax, **kw)
-        # pad lanes carry parent 0 with weight 0 -> add exactly nothing
-        acc = acc.at[parent].add(delta, mode="drop")
+        # pad tiles carry parent_tile 0 with weight 0 -> add nothing
+        acc = acc.at[parent_tile].add(
+            delta.reshape(-1, tile, 3), mode="drop")
         if level == cfg.max_bounces:
             break
         o = jnp.concatenate([ro, to], axis=0)
         d = jnp.concatenate([rd, td], axis=0)
         weight = jnp.concatenate([w_re, w_tr], axis=0)
-        parent = jnp.concatenate([parent, parent], axis=0)
+        parent_tile = jnp.concatenate([parent_tile, parent_tile], axis=0)
         tmax = jnp.concatenate([tm_re, tm_tr], axis=0)
         # TILE-granular dead-fork compaction: drop all-dead tiles with
         # a cumsum + a few-hundred-row gather. The first fused-fork cut
@@ -527,19 +534,16 @@ def _trace_tree_mega(scene: Scene, o: jnp.ndarray, d: jnp.ndarray,
             n_live = jnp.sum(live_t.astype(jnp.int32))
             slot_ok = jnp.arange(cap_tiles) < n_live
             state = jnp.concatenate(
-                [o, d, weight,
-                 jax.lax.bitcast_convert_type(parent,
-                                              jnp.float32)[:, None],
-                 tmax[:, None]], axis=1)          # [n, 11]
-            sel = jnp.take(state.reshape(n_tiles, tile * 11), idx,
-                           axis=0).reshape(cap_tiles * tile, 11)
+                [o, d, weight, tmax[:, None]], axis=1)   # [n, 10]
+            sel = jnp.take(state.reshape(n_tiles, tile * 10), idx,
+                           axis=0).reshape(cap_tiles * tile, 10)
             o = sel[:, 0:3]
             d = sel[:, 3:6]
             weight = sel[:, 6:9]
-            parent = jax.lax.bitcast_convert_type(sel[:, 9], jnp.int32)
+            parent_tile = jnp.take(parent_tile, idx, axis=0)
             tmax = jnp.where(
-                jnp.repeat(slot_ok, tile), sel[:, 10], -1.0)
-    return acc
+                jnp.repeat(slot_ok, tile), sel[:, 9], -1.0)
+    return acc.reshape(n_tiles0 * tile, 3)[:n_rays]
 
 
 _HAS_DIELECTRIC_HINT: dict = {}
