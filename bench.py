@@ -137,9 +137,14 @@ def run_once(name="mesh100k", width=None, height=None, repeats=3,
     on_tpu = jax.default_backend() != "cpu"
     has_mesh = int(np.asarray(scene.meshes.valid).sum()) > 0
     if kernel is None:
-        # megakernel: TPU + BVH + hard mirror chain only
-        kernel = ("mega" if (on_tpu and use_bvh and has_mesh
-                             and cfg.mode == "scan") else cfg.kernel)
+        # megakernel: TPU + BVH + hard mirror chain; the dielectric
+        # TREE path also routes through the fused fork kernel on TPU
+        # (_trace_tree_mega — meshless cornell runs has_mesh=False)
+        kernel = ("mega" if (on_tpu
+                             and ((use_bvh and has_mesh
+                                   and cfg.mode == "scan")
+                                  or cfg.mode == "tree"))
+                  else cfg.kernel)
     cfg = cfg.with_(kernel=kernel)
 
     bvh = None

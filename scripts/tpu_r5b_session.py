@@ -191,14 +191,18 @@ def main():
             except Exception as e:
                 emit(step="aot_topo", name=tname, error=repr(e)[:200])
         emit(step="aot_topo", ok=topo is not None)
-        if topo is not None:
+        # mesh10k first (cheap compile, [10240,3,3]=368KB grads); if the
+        # scheduler still emits a synchronous all-reduce, escalate to
+        # the 100k class ([102400,3,3]=3.7MB — the bandwidth-bound
+        # bucket VERDICT r4 #4 names) at a smaller image
+        for n_tris_aot, wh in ((10240, 128), (102400, 64)):
+            if topo is None:
+                break
             try:
                 devs = np.array(list(topo.devices))
                 mesh = Mesh(devs.reshape(-1, 1), ("dp", "tp"))
-                # mesh10k scene: mesh_verts grads [10240,3,3] = 368KB —
-                # big enough for async scheduling to pay; 100k would be
-                # 3.7MB but multiplies compile time
-                s3, cam3, cfg3 = mesh_scene(10240, width=128, height=128)
+                s3, cam3, cfg3 = mesh_scene(n_tris_aot, width=wh,
+                                            height=wh)
                 cfg3 = resolve_mode(s3, cfg3.with_(
                     use_bvh=True, kernel="xla", max_bounces=1,
                     bvh_pad=0.1))
@@ -207,7 +211,7 @@ def main():
                          "sphere_diffuse")
                 params_c = get_params(s3, names)
                 tx = optax.adam(1e-2)
-                n = 128 * 128
+                n = wh * wh
                 sh_r = NamedSharding(mesh, P("dp"))
                 sh_rep = NamedSharding(mesh, P())
                 params_a = {
@@ -229,7 +233,7 @@ def main():
                 compiled = lowered.compile()
                 txt = compiled.as_text()
                 path = ("/root/repo/docs/measurements/"
-                        "aot_overlap_r5_hlo.txt.gz")
+                        f"aot_overlap_r5_hlo_{n_tris_aot}.txt.gz")
                 with gzip.open(path, "wt") as f:
                     f.write(txt)
                 lines = txt.splitlines()
@@ -252,11 +256,15 @@ def main():
                                      "n_ops_between": len(body),
                                      "n_compute_between": len(big),
                                      "sample_ops": body[:10]})
-                emit(step="aot", ok=True, hlo_path=path,
-                     n_lines=len(lines), n_starts=len(starts),
-                     n_dones=len(dones), gaps=gaps)
+                emit(step="aot", ok=True, n_tris=n_tris_aot,
+                     hlo_path=path, n_lines=len(lines),
+                     n_starts=len(starts), n_dones=len(dones),
+                     gaps=gaps)
+                if starts:
+                    break  # async pairs found — no escalation needed
             except Exception as e:
-                emit(step="aot", ok=False, error=repr(e)[:600])
+                emit(step="aot", ok=False, n_tris=n_tris_aot,
+                     error=repr(e)[:600])
 
     # ---- vpu sanity ---------------------------------------------------
     if "vpu" in STEPS:

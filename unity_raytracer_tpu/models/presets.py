@@ -137,13 +137,16 @@ def cornell_box(width: int = 512, height: int = 512) -> Preset:
     cam = Camera.make(position=(0, s, -13.0), forward=(0, 0, 1), up=(0, 1, 0),
                       dist=1.0, half_h=0.42, half_v=0.42 * height / width,
                       width=width, height=height)
-    # tree_cap=2: this scene's live dielectric lanes never exceed 2x the
-    # primary count, so the cap is lossless (image identical to cap 4/8/
-    # uncapped at full precision, measured on v5e) and the per-level
-    # lane arrays halve: 473ms -> 312ms at 512^2/d4 (/tmp cornell A/B,
-    # r4). Uncapped (0) is SLOWER (649ms) — dead-fork compaction pays
-    # for its sort here.
-    cfg = RenderConfig(max_bounces=4, background=(0, 0, 0), tree_cap=2)
+    # tree_cap=1: this scene's live fork lanes never exceed 1x the
+    # primary count per level, so even the tightest cap is LOSSLESS
+    # (truncation counter exactly 0 at full 512^2, identical image;
+    # r4 shipped cap=2 on the same evidence at 2x). History: uncapped
+    # 649ms -> cap2 312ms (r4) -> packed-gather compaction 86ms (r4)
+    # -> fused fork kernel + tile-granular parent scatter + cap1
+    # 22.8ms = 172M rays/s (r5, tpu_r5g.jsonl). On TPU bench routes
+    # this preset through the fused fork kernel (_trace_tree_mega);
+    # the composed tree path remains the differentiable/CPU fallback.
+    cfg = RenderConfig(max_bounces=4, background=(0, 0, 0), tree_cap=1)
     return scene, cam, cfg
 
 
