@@ -15,12 +15,21 @@ Usage: python scripts/tpu_run.py scripts/tpu_r5i_aot.py [out.jsonl]
 
 import gzip
 import json
+import os
 import sys
 import time
 
 import numpy as np
 
 sys.path.insert(0, "/root/repo")
+
+# compile-option route rejected by the PJRT client ("No such compile
+# option", tpu_r5i.jsonl) — set the combiner threshold process-wide via
+# XLA_FLAGS before jax/backend import instead (picked up by the
+# compiler the AOT lowering invokes)
+SPLIT = os.environ.get("AR_SPLIT", "65536")
+os.environ["XLA_FLAGS"] = (os.environ.get("XLA_FLAGS", "")
+                           + f" --xla_all_reduce_combine_threshold_bytes={SPLIT}")
 
 OUT = sys.argv[1] if len(sys.argv) > 1 else "/tmp/tpu_r5i.jsonl"
 
@@ -74,20 +83,11 @@ def main():
                                    tx, bvh=bvh3)
     lowered = step.lower(params_a, opt_a, ray_a, ray_a, ray_a)
 
-    option_sets = [
-        ("split1m", {"xla_all_reduce_combine_threshold_bytes":
-                     "1048576"}),
-        ("split64k", {"xla_all_reduce_combine_threshold_bytes":
-                      "65536"}),
-        ("split64k_async",
-         {"xla_all_reduce_combine_threshold_bytes": "65536",
-          "xla_tpu_enable_async_collective_fusion": "true",
-          "xla_tpu_enable_async_collective_fusion_fuse_all_reduce":
-              "true"}),
-    ]
+    option_sets = [(f"envsplit{SPLIT}", None)]
     for tag, opts in option_sets:
         try:
-            compiled = lowered.compile(compiler_options=opts)
+            compiled = (lowered.compile() if opts is None
+                        else lowered.compile(compiler_options=opts))
             txt = compiled.as_text()
             lines = txt.splitlines()
             starts = [i for i, l in enumerate(lines)
