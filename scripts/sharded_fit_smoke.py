@@ -35,10 +35,12 @@ os.environ["XLA_FLAGS"] = (
     os.environ.get("XLA_FLAGS", "")
     + " --xla_force_host_platform_device_count=8"
     # the in-process collective rendezvous hard-aborts when participants
-    # arrive >40s apart (rendezvous.cc:127) — with 8 whole-program shard
-    # thunks serializing on a 2-core host that is EVERY frame-scale run;
-    # the termination timer is settable (r5 discovery), which turns the
-    # abort into an honest (slow) wait
+    # arrive >40s apart (rendezvous.cc:127). xla_cpu_collective_timeout_
+    # seconds parses but does NOT govern this termination timer (measured
+    # r5: still aborts at 40s); the terminate timeout is caller-fixed in
+    # XLA:CPU. Practical consequence: frame-scale runs need an IDLE host
+    # (2 shard threads on 2 cores arrive together; any concurrent load
+    # skews them past 40s) and 8-device runs need small-enough shards
     + " --xla_cpu_collective_timeout_seconds=3600")
 
 import jax  # noqa: E402
@@ -118,10 +120,12 @@ def main():
                   "memory story and that the step compiles/executes/"
                   "descends at frame scale — NOT a scaling number (no "
                   "real ICI; shard thunks serialize on 2 cores). "
-                  "XLA:CPU's in-process rendezvous default 40s "
-                  "termination abort is raised via "
-                  "--xla_cpu_collective_timeout_seconds=3600 (r5; the "
-                  "r4 text believed it had no flag).",
+                  "XLA:CPU's in-process rendezvous aborts when "
+                  "participants arrive >40s apart (the governing "
+                  "termination timer is caller-fixed; the settable "
+                  "collective-timeout flag does not reach it — "
+                  "measured). Frame-scale runs therefore need an idle "
+                  "host; both concurrent-load attempts aborted.",
         "runs": [],
     }
     rec["runs"].append(run(2, 1920, 1080, steps))
