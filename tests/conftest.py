@@ -13,11 +13,24 @@ a single remotely-tunnelled chip and concurrent claims block.
 """
 
 import os
+import resource
 
 os.environ["XLA_FLAGS"] = (
     os.environ.get("XLA_FLAGS", "")
     + " --xla_force_host_platform_device_count=8"
 )
+
+# XLA:CPU's compiler recurses deeply on large programs (the chunked
+# soft-replay scans); with the default 8 MB main-thread stack a full
+# suite run can SIGSEGV inside backend_compile late in the session
+# (observed r5: crash in test_replay_soft at ~50% of the suite, same
+# test green in isolation). The hard limit here is unlimited — raise
+# the soft limit so the main stack may keep growing.
+try:
+    _soft, _hard = resource.getrlimit(resource.RLIMIT_STACK)
+    resource.setrlimit(resource.RLIMIT_STACK, (_hard, _hard))
+except (ValueError, OSError):
+    pass
 
 import jax  # noqa: E402
 
