@@ -18,6 +18,20 @@ import pytest
 import jax
 import jax.numpy as jnp
 
+
+@pytest.fixture(autouse=True, scope="module")
+def _fresh_compiler_state():
+    """Full-suite runs deterministically SIGSEGV inside XLA:CPU's
+    backend_compile on this module's chunked-scan program (while the
+    module alone is green) — a cumulative compiler-state condition, not
+    a test bug; raising RLIMIT_STACK did not clear it (glibc sizes new
+    pthread stacks at 8 MB under an unlimited rlimit). Dropping the
+    session's accumulated executables/tracing caches before this
+    module's big compiles removes the accumulation half of the
+    trigger."""
+    jax.clear_caches()
+    yield
+
 from unity_raytracer_tpu.models import meshgen
 from unity_raytracer_tpu.models.camera import Camera, generate_rays_blocks
 from unity_raytracer_tpu.models.scene import SceneBuilder, make_material
